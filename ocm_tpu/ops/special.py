@@ -1,0 +1,117 @@
+"""Device-side statistical special functions.
+
+The reference computes chi^2 / F quantiles on the host with
+``scipy.stats.chi2.ppf`` / ``scipy.stats.f.ppf`` (``utils/SIMCA.py:156-236``,
+``vae_model.py:162-181``).  On TPU those quantiles must be available *inside*
+jitted, vmapped fits — the batched CV engine inverts thousands of them with
+different degrees of freedom in one call — so we implement the inverse
+regularized incomplete gamma/beta functions directly on device.
+
+Strategy: guarded bisection.  Both ``gammainc(a, .)`` and ``betainc(a, b, .)``
+are monotone in x, so a bracketed bisection converges unconditionally; at
+float64 ~120 halvings reach machine precision, and everything is branch-free
+(`lax.fori_loop` + `jnp.where`), so the same code vmaps/shards cleanly.
+Accuracy is validated against scipy in ``tests/test_special.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import betainc, gammainc
+
+# Re-export: the Jackson-Mudholkar Q-limit needs erfinv (utils/SIMCA.py:197).
+from jax.scipy.special import erfinv as erfinv  # noqa: PLC0414
+
+_BISECT_ITERS = 120
+
+
+def _bisect(fn, p, lo, hi, iters: int = _BISECT_ITERS):
+    """Solve fn(x) = p for x in [lo, hi]; fn monotone increasing in x."""
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        below = fn(mid) < p
+        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+def gammaincinv(a, p):
+    """Inverse of the regularized lower incomplete gamma P(a, x) in x.
+
+    Broadcasts over ``a`` and ``p``.  Edge cases: p<=0 -> 0, p>=1 -> inf.
+    """
+    a, p = jnp.broadcast_arrays(jnp.asarray(a), jnp.asarray(p))
+    # Promote to the widest float available (f64 under x64): bisection
+    # precision is bounded by the working dtype, not the input dtypes.
+    dtype = jnp.result_type(a, p, float)
+    a = a.astype(dtype)
+    p = p.astype(dtype)
+
+    # Upper bracket: mean + k*std of Gamma(a,1) grows like a + k*sqrt(a);
+    # double until it covers p (handles extreme tails).
+    hi0 = a + 40.0 * jnp.sqrt(a) + 40.0
+
+    def widen(carry):
+        hi, _ = carry
+        return hi * 2.0, gammainc(a, hi * 2.0)
+
+    hi_cap = jnp.asarray(jnp.finfo(dtype).max, dtype=dtype) / 4.0
+
+    def need_widen(carry):
+        hi, val = carry
+        return jnp.any((val < p) & (hi < hi_cap))
+
+    hi, _ = jax.lax.while_loop(need_widen, widen, (hi0, gammainc(a, hi0)))
+    lo = jnp.zeros_like(hi)
+    x = _bisect(lambda x: gammainc(a, x), p, lo, hi)
+    x = jnp.where(p <= 0.0, 0.0, x)
+    x = jnp.where(p >= 1.0, jnp.inf, x)
+    return x
+
+
+def betaincinv(a, b, p):
+    """Inverse of the regularized incomplete beta I_x(a, b) in x on [0, 1]."""
+    a, b, p = jnp.broadcast_arrays(jnp.asarray(a), jnp.asarray(b), jnp.asarray(p))
+    dtype = jnp.result_type(a, b, p, float)
+    a, b, p = a.astype(dtype), b.astype(dtype), p.astype(dtype)
+
+    lo = jnp.zeros_like(p)
+    hi = jnp.ones_like(p)
+    x = _bisect(lambda x: betainc(a, b, x), p, lo, hi)
+    x = jnp.where(p <= 0.0, 0.0, x)
+    x = jnp.where(p >= 1.0, 1.0, x)
+    return x
+
+
+def chi2_ppf(p, df):
+    """chi^2 quantile; matches scipy.stats.chi2.ppf (utils/SIMCA.py:171)."""
+    return 2.0 * gammaincinv(jnp.asarray(df) / 2.0, p)
+
+
+def chi2_cdf(x, df):
+    return gammainc(jnp.asarray(df) / 2.0, jnp.asarray(x) / 2.0)
+
+
+def f_ppf(p, dfn, dfd):
+    """F-distribution quantile; matches scipy.stats.f.ppf (utils/SIMCA.py:163).
+
+    Uses the Beta relationship: X~F(d1,d2)  <=>  d1*X/(d1*X+d2) ~ Beta(d1/2, d2/2).
+    """
+    dfn = jnp.asarray(dfn)
+    dfd = jnp.asarray(dfd)
+    y = betaincinv(dfn / 2.0, dfd / 2.0, p)
+    # Guard y -> 1 (p -> 1): quantile diverges.
+    out = dfd * y / (dfn * (1.0 - y))
+    return jnp.where(jnp.asarray(p) >= 1.0, jnp.inf, out)
+
+
+def f_cdf(x, dfn, dfd):
+    dfn = jnp.asarray(dfn, dtype=jnp.result_type(x, jnp.float32))
+    dfd = jnp.asarray(dfd, dtype=dfn.dtype)
+    x = jnp.asarray(x)
+    y = dfn * x / (dfn * x + dfd)
+    return betainc(dfn / 2.0, dfd / 2.0, y)
