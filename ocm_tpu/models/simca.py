@@ -1,0 +1,405 @@
+"""SIMCA: per-class PCA one-class models with chemometric acceptance limits.
+
+TPU-first re-design of the reference estimator (``utils/SIMCA.py:12-278``):
+
+- ``fit_simca`` is ONE jittable function built on a single SVD.  The
+  reference fits sklearn PCA three times per class (full fit at
+  utils/SIMCA.py:64, pinv at :69, n_components refit at :75); the top-k of
+  one full SVD is identical to the refit (same data, same solver), so a
+  single decomposition yields scores, loadings, eigenvalue spectrum, T2, Q,
+  limits and the critical distance.
+- ``simca_scores`` needs ONE GEMM per class and never materializes the
+  (N, L) reconstruction (see ocm_tpu.ops.linalg.t2_q_scores).
+- multi-class models are a vmapped axis (``fit_classes`` /
+  ``predict_classes``) instead of the reference's Python loop.
+- the sklearn-style ``SIMCA`` wrapper class reproduces the reference API
+  surface including its documented quirks (SURVEY.md section 2.4): Q1
+  (transform returns the last class's tuple), Q7 ('dd' uses the last-fitted
+  class's pooled dofs), and the 'dd' -> chi2pom coercion prints.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocm_tpu.ops.linalg import cov, pca_fit, pinv_psd, t2_q_scores
+from ocm_tpu.stats import limits as L
+from ocm_tpu.stats.metrics import conformity_metrics
+
+
+class SIMCAModel(NamedTuple):
+    """One fitted single-class SIMCA model (a pytree of arrays).
+
+    Mirrors the reference's per-class model dict (utils/SIMCA.py:83-99)
+    minus host objects: everything needed to score is dense device data.
+    """
+
+    mean: jnp.ndarray           # (L,)
+    components: jnp.ndarray     # (k, L)
+    invcovT: jnp.ndarray        # (k, k)
+    eigenvalues: jnp.ndarray    # (r,) full spectrum (explained_variance_)
+    t2_res: L.LimitResult
+    q_res: L.LimitResult
+    d_limit: jnp.ndarray
+    t2_train: jnp.ndarray       # (n,)
+    q_train: jnp.ndarray        # (n,)
+    n_samples: jnp.ndarray
+
+
+def fit_simca(x_cls, n_components: int, decision_type: str = "alt",
+              t2_method: str = "Fdist", q_method: str = "jm",
+              t2_cl: float = 0.95, q_cl: float = 0.95, d_cl: float = 0.95,
+              dtype=None) -> SIMCAModel:
+    """Fit one single-class SIMCA model (utils/SIMCA.py:62-99) in one SVD."""
+    fit = pca_fit(x_cls, dtype=dtype)
+    t = fit.scores[:, :n_components]
+    p = fit.components[:n_components]
+    invcovT = pinv_psd(cov(t))
+    t2 = jnp.einsum("ij,jk,ik->i", t, invcovT, t)
+    # Q against the full-rank reconstruction with k components == energy
+    # not captured by the top-k scores (orthonormal loadings).
+    xc = x_cls.astype(t.dtype) - fit.mean[None, :]
+    q = jnp.maximum(jnp.sum(xc * xc, axis=-1) - jnp.sum(t * t, axis=-1), 0.0)
+
+    max_rank = min(x_cls.shape)
+    thetas = L.residual_thetas(fit.eigenvalues, n_components, max_rank=max_rank)
+    t2_res = L.t2_limit(t2, n_components, t2_method, t2_cl)
+    q_res = L.q_limit(q, q_method, q_cl, thetas=thetas)
+    d_limit = L.critical_distance(decision_type, t2_res, q_res,
+                                  n_components=n_components, thetas=thetas,
+                                  dcl=d_cl)
+    return SIMCAModel(
+        mean=fit.mean, components=p, invcovT=invcovT,
+        eigenvalues=fit.eigenvalues, t2_res=t2_res, q_res=q_res,
+        d_limit=d_limit, t2_train=t2, q_train=q,
+        n_samples=jnp.asarray(x_cls.shape[0]),
+    )
+
+
+def simca_scores(model: SIMCAModel, x):
+    """T2 and Q for new samples (utils/SIMCA.py:127-130), one GEMM."""
+    t2, q, _ = t2_q_scores(x.astype(model.mean.dtype), model.mean,
+                           model.components, model.invcovT)
+    return t2, q
+
+
+def simca_decide(model: SIMCAModel, x, decision_type: str = "alt"):
+    """Accept/reject + reduced distance (utils/SIMCA.py:131-145).
+
+    Returns (accept, dred, t2, q); accept uses the strict ``<`` of the
+    reference.
+    """
+    t2, q = simca_scores(model, x)
+    dred = L.reduced_distance(decision_type, t2, q, model.t2_res, model.q_res)
+    return dred < model.d_limit, dred, t2, q
+
+
+def reduced_train_distances(model: SIMCAModel, decision_type: str):
+    """T2red/Qred of the training data (utils/SIMCA.py:76-81)."""
+    if decision_type == "dd":
+        t2red = model.t2_res.dof * model.t2_train / model.t2_res.scale
+        qred = model.q_res.dof * model.q_train / model.q_res.scale
+    else:
+        t2red = model.t2_train / model.t2_res.limit
+        qred = model.q_train / model.q_res.limit
+    return t2red, qred
+
+
+# ---------------------------------------------------------------------------
+# Multi-class: classes as a vmapped axis.
+# ---------------------------------------------------------------------------
+
+def fit_classes(x, classes, class_labels, n_components: int, **kwargs):
+    """Fit one model per class as a single batched solve.
+
+    The reference loops classes on the host (utils/SIMCA.py:52-54).  Here
+    class membership becomes a padded dense (C, n_max, L) batch + vmap, so C
+    class fits are one XLA program.  All classes share ``n_components``
+    (per-class k still works through the wrapper's Python loop).
+    """
+    x = jnp.asarray(x)
+    classes = np.asarray(classes)
+    counts = [int(np.sum(classes == c)) for c in class_labels]
+    n_max = max(counts)
+    stacked = np.zeros((len(class_labels), n_max, x.shape[1]), dtype=x.dtype)
+    for i, c in enumerate(class_labels):
+        rows = np.asarray(x)[classes == c]
+        stacked[i, :rows.shape[0]] = rows
+        # pad with repeats of the first row so padded fits stay full-rank;
+        # masked statistics below ignore them
+        if rows.shape[0] < n_max:
+            stacked[i, rows.shape[0]:] = rows[0]
+    masks = np.zeros((len(class_labels), n_max), dtype=bool)
+    for i, cnt in enumerate(counts):
+        masks[i, :cnt] = True
+
+    if len(set(counts)) == 1:
+        # equal class sizes: plain vmap over exact per-class blocks
+        fit_fn = lambda xc: fit_simca(xc, n_components, **kwargs)
+        return jax.vmap(fit_fn)(jnp.asarray(stacked))
+    fit_fn = lambda xc, w: fit_simca_masked(xc, w, n_components, **kwargs)
+    return jax.vmap(fit_fn)(jnp.asarray(stacked), jnp.asarray(masks))
+
+
+def predict_classes(models: SIMCAModel, x, decision_type: str = "alt"):
+    """Score one batch against C stacked models: (C, N) accept matrix."""
+    return jax.vmap(lambda m: simca_decide(m, x, decision_type))(models)
+
+
+def fit_simca_masked(x, w, n_components: int, decision_type: str = "alt",
+                     t2_method: str = "Fdist", q_method: str = "jm",
+                     t2_cl: float = 0.95, q_cl: float = 0.95,
+                     d_cl: float = 0.95, max_rank=None) -> SIMCAModel:
+    """Masked/weighted SIMCA fit: rows with w == 0 are excluded.
+
+    Foundation of the batched CV engine: every (fold x class) fit shares one
+    padded shape, so vmapping gives a single batched eigh + GEMM program.
+    Uses the eigendecomposition of the weighted covariance (L x L) instead
+    of an SVD — identical spectrum, and the batched eigh maps better onto
+    the MXU than batched SVD.  Matches ``fit_simca`` to float tolerance
+    (tests/test_simca.py::test_masked_fit_matches_dense).
+    """
+    w = w.astype(x.dtype)
+    n = jnp.sum(w)
+    mean = jnp.sum(x * w[:, None], axis=0) / n
+    xc = (x - mean[None, :]) * w[:, None]
+    c = (xc.T @ xc) / (n - 1.0)
+    eigval, eigvec = jnp.linalg.eigh(c)
+    eigval = eigval[::-1]
+    eigvec = eigvec[:, ::-1]
+    # eigh eigenvalues can go slightly negative at machine precision
+    eigenvalues = jnp.maximum(eigval, 0.0)
+    # sklearn-compatible sign convention (Vt-row based): make the max-abs
+    # entry of each loading vector positive
+    max_abs_idx = jnp.argmax(jnp.abs(eigvec), axis=0)
+    signs = jnp.sign(eigvec[max_abs_idx, jnp.arange(eigvec.shape[1])])
+    signs = jnp.where(signs == 0, 1.0, signs)
+    eigvec = eigvec * signs[None, :]
+
+    p = eigvec[:, :n_components].T
+    t = xc @ p.T
+    # masked covariance of scores (padded rows are zero AND excluded)
+    tm = jnp.sum(t * w[:, None], axis=0) / n
+    tc = (t - tm[None, :]) * w[:, None]
+    invcovT = pinv_psd((tc.T @ tc) / (n - 1.0))
+    t2 = jnp.einsum("ij,jk,ik->i", t, invcovT, t)
+    q = jnp.maximum(jnp.sum(xc * xc, axis=-1) - jnp.sum(t * t, axis=-1), 0.0)
+
+    # masked order statistics: padded entries replaced by +inf and the
+    # percentile taken over the true count via sorting
+    def masked_percentile(v, cl):
+        v_sorted = jnp.sort(jnp.where(w > 0, v, jnp.inf))
+        # np.percentile linear interpolation on the first n entries
+        idx = cl * (n - 1.0)
+        lo = jnp.clip(jnp.floor(idx).astype(jnp.int32), 0, v.shape[0] - 1)
+        hi = jnp.clip(lo + 1, 0, v.shape[0] - 1)
+        frac = idx - jnp.floor(idx)
+        v_hi = jnp.where(hi < n, v_sorted[hi], v_sorted[lo])
+        return v_sorted[lo] * (1.0 - frac) + v_hi * frac
+
+    def masked_moments(v):
+        m = jnp.sum(v * w) / n
+        var = jnp.sum(w * (v - m) ** 2) / (n - 1.0)
+        return m, var
+
+    if max_rank is None:
+        max_rank = jnp.minimum(n, x.shape[1]).astype(jnp.int32)
+    thetas = L.residual_thetas(eigenvalues, n_components, max_rank=max_rank)
+
+    # limit engines on masked statistics
+    if t2_method == "perc":
+        t2_res = L.LimitResult(masked_percentile(t2, t2_cl),
+                               jnp.ones((), x.dtype), jnp.ones((), x.dtype))
+    elif t2_method == "chi2pom":
+        m, var = masked_moments(t2)
+        dof = jnp.maximum(jnp.where(var > 0, jnp.round(2 * m * m / var), 1.0), 1.0)
+        from ocm_tpu.ops.special import chi2_ppf
+        t2_res = L.LimitResult(m * chi2_ppf(t2_cl, dof) / dof, dof, m)
+    else:
+        t2_res = L.t2_limit(t2, n_components, t2_method, t2_cl, n_samples=n)
+
+    if q_method == "perc":
+        q_res = L.LimitResult(masked_percentile(q, q_cl),
+                              jnp.ones((), x.dtype), jnp.ones((), x.dtype))
+    elif q_method == "chi2pom":
+        m, var = masked_moments(q)
+        dof = jnp.maximum(jnp.where(var > 0, jnp.round(2 * m * m / var), 1.0), 1.0)
+        from ocm_tpu.ops.special import chi2_ppf
+        q_res = L.LimitResult(m * chi2_ppf(q_cl, dof) / dof, dof, m)
+    else:
+        q_res = L.q_limit(q, q_method, q_cl, thetas=thetas)
+
+    d_limit = L.critical_distance(decision_type, t2_res, q_res,
+                                  n_components=n_components, thetas=thetas,
+                                  dcl=d_cl)
+    return SIMCAModel(
+        mean=mean, components=p, invcovT=invcovT, eigenvalues=eigenvalues,
+        t2_res=t2_res, q_res=q_res, d_limit=d_limit,
+        t2_train=jnp.where(w > 0, t2, 0.0), q_train=jnp.where(w > 0, q, 0.0),
+        n_samples=n.astype(jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sklearn-style wrapper mirroring the reference estimator API.
+# ---------------------------------------------------------------------------
+
+class SIMCA:
+    """Drop-in style estimator mirroring ``utils/SIMCA.py:12-278``.
+
+    Same constructor signature and semantics: fit per class, predict returns
+    an (N, n_classes) 0/1 matrix, metrics stored per class.  Reference
+    quirks are reproduced (SURVEY.md Q1/Q7): ``transform`` returns only the
+    last class's tuple, and 'dd' decisions use the last-fitted class's
+    pooled dofs unless ``compat_dd_shared_state=False``.
+    """
+
+    def __init__(self, n_components=2, model_class=None, type: str = "alt",
+                 t2lim="Fdist", t2cl=0.95, qlim="jm", qcl=0.95, dcl=0.95,
+                 maxPC=20, criteria="compl", verbose=True, dtype=None,
+                 compat_dd_shared_state=True):
+        self.n_components = n_components
+        self.model_class = model_class
+        self.type = type
+        self.t2lim = t2lim
+        self.t2cl = t2cl
+        self.qlim = qlim
+        self.qcl = qcl
+        self.dcl = dcl
+        self.maxPC = maxPC
+        self.criteria = criteria
+        self.verbose = verbose
+        self.dtype = dtype
+        self.compat_dd_shared_state = compat_dd_shared_state
+        self.metrics = {}
+
+    # sklearn plumbing (clone/set_params support without the dependency)
+    def get_params(self, deep=True):
+        return {k: getattr(self, k) for k in (
+            "n_components", "model_class", "type", "t2lim", "t2cl", "qlim",
+            "qcl", "dcl", "maxPC", "criteria", "verbose", "dtype",
+            "compat_dd_shared_state")}
+
+    def set_params(self, **params):
+        for k, v in params.items():
+            setattr(self, k, v)
+        return self
+
+    def fit(self, X, classes):
+        if self.model_class is None:
+            self.model_class = list(np.unique(classes))
+        elif isinstance(self.model_class, (int, np.integer)):
+            self.model_class = [self.model_class]
+
+        ncomp = self.n_components
+        if not isinstance(ncomp, list):
+            ncomp = [ncomp]
+        if len(ncomp) == 1:
+            ncomp = ncomp * len(self.model_class)
+        elif len(ncomp) != len(self.model_class):
+            raise ValueError("n_components length must match number of classes")
+        self._n_components_per_class = ncomp
+
+        if self.type == "dd" and self.t2lim != "chi2pom":
+            print("t2lim set as chi2pom")
+            self.t2lim = "chi2pom"
+        if self.type == "dd" and self.qlim != "chi2pom":
+            print("qlim set as chi2pom")
+            self.qlim = "chi2pom"
+
+        X = np.asarray(X)
+        classes = np.asarray(classes)
+        self._model = {}
+        for i, cls in enumerate(self.model_class):
+            x_cls = jnp.asarray(X[classes == cls])
+            self._model[cls] = fit_simca(
+                x_cls, ncomp[i], self.type, self.t2lim, self.qlim,
+                self.t2cl, self.qcl, self.dcl, dtype=self.dtype)
+        self.n_features_in_ = X.shape[1]
+        self.is_fitted_ = True
+        return self
+
+    def _check_fitted(self):
+        if not getattr(self, "is_fitted_", False):
+            raise RuntimeError(
+                "This SIMCA instance is not fitted yet; call fit(X, classes) "
+                "before predict/transform/score.")
+
+    def _dd_limits(self, model: SIMCAModel):
+        """Quirk Q7: 'dd' pooled-dof state is shared from the LAST class."""
+        if self.type == "dd" and self.compat_dd_shared_state:
+            last = self._model[self.model_class[-1]]
+            return model._replace(t2_res=last.t2_res, q_res=last.q_res,
+                                  d_limit=last.d_limit)
+        return model
+
+    def transform(self, X):
+        """Quirk Q1 (utils/SIMCA.py:101-117): loops classes, returns the
+        last class's (T2, T2red, Q, Qred)."""
+        self._check_fitted()
+        X = jnp.asarray(X)
+        out = None
+        for cls in self.model_class:
+            model = self._dd_limits(self._model[cls])
+            t2, q = simca_scores(model, X)
+            if self.type == "dd":
+                t2red = model.t2_res.dof * t2 / model.t2_res.scale
+                qred = model.q_res.dof * q / model.q_res.scale
+            else:
+                t2red = t2 / model.t2_res.limit
+                qred = q / model.q_res.limit
+            out = (t2, t2red, q, qred)
+        return out
+
+    def predict(self, X, y_true=None):
+        self._check_fitted()
+        X = jnp.asarray(X)
+        predictions = np.zeros((X.shape[0], len(self.model_class)))
+        for i, cls in enumerate(self.model_class):
+            model = self._dd_limits(self._model[cls])
+            accept, _, _, _ = simca_decide(model, X, self.type)
+            predictions[:, i] = np.asarray(accept)
+            if y_true is not None:
+                m = conformity_metrics(jnp.asarray(y_true),
+                                       jnp.asarray(predictions[:, i]), cls)
+                self.metrics[cls] = {
+                    "sensitivity": float(m.sensitivity),
+                    "specificity": float(m.specificity),
+                    "accuracy": float(m.accuracy),
+                    "efficiency": float(m.efficiency),
+                    "TP": int(m.tp), "TN": int(m.tn),
+                    "FP": int(m.fp), "FN": int(m.fn),
+                }
+                if self.verbose:
+                    mm = self.metrics[cls]
+                    print(f"Sample class {cls} = {int(np.sum(np.asarray(y_true) == cls))}")
+                    print(f"Confusion Matrix for class {cls}:\nTP: {mm['TP']}, "
+                          f"TN: {mm['TN']}, FP: {mm['FP']}, FN: {mm['FN']}")
+                    print(f"Class {cls} - Sensitivity: {mm['sensitivity']}, "
+                          f"Specificity: {mm['specificity']:.4f}, "
+                          f"Accuracy: {mm['accuracy']:.4f}, "
+                          f"Efficiency: {mm['efficiency']:.4f}")
+        return predictions
+
+    def score(self, X, y):
+        """Quirk Q10: returns specificity only (utils/SIMCA.py:268-278)."""
+        y_pred = self.predict(X, y_true=y)
+        m = conformity_metrics(jnp.asarray(y), jnp.asarray(np.ravel(y_pred)),
+                               self.model_class[0])
+        return float(m.specificity)
+
+    def _metrics_simca_conformity(self, y_true, y_pred, class_index):
+        """Host-side metric helper kept for CV-engine compatibility."""
+        m = conformity_metrics(jnp.asarray(y_true), jnp.asarray(y_pred),
+                               class_index)
+        return {
+            "sensitivity": float(m.sensitivity),
+            "specificity": float(m.specificity),
+            "accuracy": float(m.accuracy),
+            "efficiency": float(m.efficiency),
+            "TP": int(m.tp), "TN": int(m.tn), "FP": int(m.fp), "FN": int(m.fn),
+        }

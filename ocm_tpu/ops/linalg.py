@@ -38,14 +38,15 @@ class PCAFit(NamedTuple):
 
 
 def svd_flip_signs(u, vt):
-    """sklearn's deterministic SVD sign convention (u-based).
+    """sklearn's deterministic SVD sign convention.
 
-    For each component, the entry of ``u`` with the largest absolute value is
-    made positive.  Guarantees our scores/loadings match sklearn's
-    ``PCA(svd_solver='full')`` exactly, not just up to sign.
+    ``PCA._fit_full`` flips with ``u_based_decision=False``: for each
+    component, the entry of the corresponding **row of Vt** with the largest
+    absolute value is made positive.  Guarantees our scores/loadings match
+    sklearn's ``PCA(svd_solver='full')`` exactly, not just up to sign.
     """
-    max_abs_idx = jnp.argmax(jnp.abs(u), axis=0)
-    signs = jnp.sign(u[max_abs_idx, jnp.arange(u.shape[1])])
+    max_abs_idx = jnp.argmax(jnp.abs(vt), axis=1)
+    signs = jnp.sign(vt[jnp.arange(vt.shape[0]), max_abs_idx])
     signs = jnp.where(signs == 0, 1.0, signs)
     return u * signs[None, :], vt * signs[:, None]
 

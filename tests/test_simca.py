@@ -1,0 +1,190 @@
+"""SIMCA model core vs the reference-mirroring oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ocm_tpu.models import simca
+from ocm_tpu.ops.linalg import pca_fit
+
+from oracles import SimcaOracle, make_class_spectra
+
+
+@pytest.fixture
+def class_data(rng):
+    x_in = make_class_spectra(rng, 150, 80)
+    x_out = make_class_spectra(rng, 60, 80, center_shift=0.8)
+    return x_in, x_out
+
+
+def test_pca_fit_matches_sklearn(class_data):
+    from sklearn.decomposition import PCA
+
+    x, _ = class_data
+    ref = PCA(n_components=None, svd_solver="full")
+    t_ref = ref.fit_transform(x)
+    fit = pca_fit(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(fit.mean), ref.mean_, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fit.eigenvalues),
+                               ref.explained_variance_, rtol=1e-8, atol=1e-12)
+    # signs must match too (svd_flip convention)
+    k = 10
+    np.testing.assert_allclose(np.asarray(fit.scores[:, :k]), t_ref[:, :k],
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(fit.components[:k]),
+                               ref.components_[:k], rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("dtype_,t2m,qm", [
+    ("alt", "Fdist", "jm"),
+    ("sim", "perc", "perc"),
+    ("ci", "chi2", "chi2box"),
+    ("dd", "chi2pom", "chi2pom"),
+    ("alt", "Fdistrig", "chi2pom"),
+])
+def test_fit_and_decide_match_oracle(class_data, dtype_, t2m, qm):
+    x_in, x_out = class_data
+    k = 8
+    oracle = SimcaOracle(dtype_, t2m, qm).fit(x_in, k)
+    model = simca.fit_simca(jnp.asarray(x_in), k, dtype_, t2m, qm)
+
+    np.testing.assert_allclose(np.asarray(model.t2_train), oracle.t2,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(model.q_train), oracle.q,
+                               rtol=1e-6, atol=1e-10)
+    assert float(model.t2_res.limit) == pytest.approx(oracle.t2_limit, rel=1e-7)
+    assert float(model.q_res.limit) == pytest.approx(oracle.q_limit, rel=1e-7)
+    assert float(model.d_limit) == pytest.approx(oracle.d_limit, rel=1e-7)
+
+    x_test = np.vstack([x_in[:40], x_out])
+    want_acc, want_dred, want_t2, want_q = oracle.decide(x_test)
+    accept, dred, t2, q = simca.simca_decide(model, jnp.asarray(x_test), dtype_)
+    np.testing.assert_allclose(np.asarray(t2), want_t2, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(q), want_q, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dred), want_dred, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(accept), want_acc)
+
+
+def test_fit_is_jittable(class_data):
+    x_in, _ = class_data
+    jitted = jax.jit(lambda x: simca.fit_simca(x, 5))
+    model = jitted(jnp.asarray(x_in))
+    assert float(model.d_limit) == pytest.approx(np.sqrt(2))
+
+
+def test_masked_fit_matches_dense(class_data, rng):
+    x_in, x_out = class_data
+    n = x_in.shape[0]
+    pad = 40
+    x_pad = np.vstack([x_in, np.repeat(x_in[:1], pad, axis=0)])
+    w = np.concatenate([np.ones(n), np.zeros(pad)])
+
+    for t2m, qm in [("Fdist", "jm"), ("perc", "perc"), ("chi2pom", "chi2pom")]:
+        dense = simca.fit_simca(jnp.asarray(x_in), 6, "alt", t2m, qm)
+        masked = simca.fit_simca_masked(jnp.asarray(x_pad), jnp.asarray(w), 6,
+                                        "alt", t2m, qm, max_rank=min(n, 80))
+        assert float(masked.t2_res.limit) == pytest.approx(
+            float(dense.t2_res.limit), rel=1e-6)
+        assert float(masked.q_res.limit) == pytest.approx(
+            float(dense.q_res.limit), rel=1e-6)
+        a_d, *_ = simca.simca_decide(dense, jnp.asarray(x_out))
+        a_m, *_ = simca.simca_decide(masked, jnp.asarray(x_out))
+        np.testing.assert_array_equal(np.asarray(a_d), np.asarray(a_m))
+
+
+def test_wrapper_multiclass_matches_oracle(rng):
+    xs, ys = [], []
+    for c, shift in enumerate([0.0, 0.5, 1.1]):
+        xs.append(make_class_spectra(rng, 100, 60, center_shift=shift))
+        ys.append(np.full(100, c))
+    x = np.vstack(xs)
+    y = np.concatenate(ys)
+
+    est = simca.SIMCA(n_components=6, type="alt", t2lim="Fdist", qlim="jm",
+                      verbose=False)
+    est.fit(x, y)
+    pred = est.predict(x, y_true=y)
+    assert pred.shape == (300, 3)
+
+    for c in range(3):
+        oracle = SimcaOracle("alt", "Fdist", "jm").fit(xs[c], 6)
+        want, *_ = oracle.decide(x)
+        np.testing.assert_array_equal(pred[:, c].astype(bool), want)
+        m = est.metrics[c]
+        # oracle conformity metrics (utils/SIMCA.py:238-266)
+        tc = (y == c).astype(int)
+        tp = np.sum((pred[:, c] == 1) & (tc == 1))
+        fn = np.sum((pred[:, c] == 0) & (tc == 1))
+        assert m["sensitivity"] == pytest.approx(tp / (tp + fn) * 100)
+
+
+def test_wrapper_transform_quirk_q1(rng):
+    """transform returns only the LAST class's tuple (utils/SIMCA.py:101-117)."""
+    x0 = make_class_spectra(rng, 80, 50)
+    x1 = make_class_spectra(rng, 80, 50, center_shift=0.7)
+    x = np.vstack([x0, x1])
+    y = np.repeat([0, 1], 80)
+    est = simca.SIMCA(n_components=4, verbose=False).fit(x, y)
+    t2, t2red, q, qred = est.transform(x)
+    oracle = SimcaOracle("alt", "Fdist", "jm").fit(x1, 4)
+    want_t2, want_q = oracle.scores(x)
+    np.testing.assert_allclose(np.asarray(t2), want_t2, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(qred), want_q / oracle.q_limit,
+                               rtol=1e-6)
+
+
+def test_wrapper_dd_coercion_and_shared_state(rng, capsys):
+    """'dd' forces chi2pom limits (utils/SIMCA.py:42-48) and shares the
+    last class's dofs across classes (quirk Q7)."""
+    x0 = make_class_spectra(rng, 90, 50)
+    x1 = make_class_spectra(rng, 90, 50, center_shift=0.6)
+    x = np.vstack([x0, x1])
+    y = np.repeat([0, 1], 90)
+    est = simca.SIMCA(n_components=4, type="dd", t2lim="Fdist", qlim="jm",
+                      verbose=False).fit(x, y)
+    out = capsys.readouterr().out
+    assert "t2lim set as chi2pom" in out and "qlim set as chi2pom" in out
+    assert est.t2lim == "chi2pom" and est.qlim == "chi2pom"
+
+    pred_compat = est.predict(x)
+    # compat: class-0 decisions computed with class-1's dofs/scales
+    o1 = SimcaOracle("dd").fit(x1, 4)
+    o0 = SimcaOracle("dd").fit(x0, 4)
+    t2_0, q_0 = o0.scores(x)
+    dred = o1.t2dof * t2_0 / o1.t2scale + o1.qdof * q_0 / o1.qscale
+    want = dred < o1.d_limit
+    np.testing.assert_array_equal(pred_compat[:, 0].astype(bool), want)
+
+    est.compat_dd_shared_state = False
+    pred_fixed = est.predict(x)
+    want_fixed, *_ = o0.decide(x)
+    np.testing.assert_array_equal(pred_fixed[:, 0].astype(bool), want_fixed)
+
+
+def test_fit_classes_vmap_matches_loop(rng):
+    xs = [make_class_spectra(rng, 70, 40, center_shift=s) for s in (0.0, 0.4, 0.9)]
+    x = np.vstack(xs)
+    y = np.repeat([0, 1, 2], 70)
+    models = simca.fit_classes(x, y, [0, 1, 2], 5)
+    accept, dred, t2, q = simca.predict_classes(models, jnp.asarray(x))
+    assert accept.shape == (3, 210)
+    for c in range(3):
+        single = simca.fit_simca(jnp.asarray(xs[c]), 5)
+        a, d, *_ = simca.simca_decide(single, jnp.asarray(x))
+        np.testing.assert_array_equal(np.asarray(accept[c]), np.asarray(a))
+        np.testing.assert_allclose(np.asarray(dred[c]), np.asarray(d), rtol=1e-8)
+
+
+def test_fit_classes_unequal_sizes(rng):
+    xs = [make_class_spectra(rng, n, 40, center_shift=s)
+          for n, s in [(50, 0.0), (90, 0.5)]]
+    x = np.vstack(xs)
+    y = np.repeat([0, 1], [50, 90])
+    models = simca.fit_classes(x, y, [0, 1], 5)
+    accept, *_ = simca.predict_classes(models, jnp.asarray(x))
+    for c, xc in enumerate(xs):
+        single = simca.fit_simca(jnp.asarray(xc), 5)
+        a, *_ = simca.simca_decide(single, jnp.asarray(x))
+        np.testing.assert_array_equal(np.asarray(accept[c]), np.asarray(a))
