@@ -1,0 +1,99 @@
+"""Headline benchmark: batched SIMCA fit + score throughput vs the CPU
+reference implementation (BASELINE.json config 1/5 — the north-star metric).
+
+Workload: fit 3 one-class SIMCA models (cheese-scale calibration sets,
+700 x 500 each, k = 10) and score 98,304 spectra against all 3 classes.
+
+- TPU path: ocm_tpu batched fit (vmapped masked eigh) + fused scoring
+  (one GEMM per class, no (N, L) reconstruction materialized).
+- CPU reference path: the reference's own algorithm — sklearn full-SVD PCA
+  fit per class (utils/SIMCA.py:62-75) and transform / inverse_transform /
+  residual scoring (utils/SIMCA.py:127-130) in float64 NumPy.
+
+Prints ONE JSON line: spectra/sec scored end-to-end (fit + score), with
+vs_baseline = throughput ratio over the CPU reference.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def make_data(seed=0, n_cal=700, length=500, n_classes=3, n_score=98304):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 1, length)
+    cals = []
+    for c in range(n_classes):
+        base = np.sin(2 * np.pi * (3 + c) * t) + 0.3 * c
+        amp = rng.normal(1.0, 0.08, size=(n_cal, 1))
+        cals.append((amp * base[None, :]
+                     + rng.normal(0, 0.02, size=(n_cal, length))))
+    xs = rng.normal(0, 1, size=(n_score, length)) + np.sin(
+        2 * np.pi * 3 * t)[None, :]
+    return cals, xs
+
+
+def bench_tpu(cals, xs, k=10, repeats=5):
+    import jax
+    import jax.numpy as jnp
+
+    from ocm_tpu.models.simca import fit_classes, predict_classes
+
+    x = jnp.asarray(np.concatenate(cals), jnp.float32)
+    classes = np.repeat(np.arange(len(cals)), cals[0].shape[0])
+    xs_d = jnp.asarray(xs, jnp.float32)
+
+    def run():
+        models = fit_classes(x, classes, list(range(len(cals))), k)
+        accept, dred, t2, q = predict_classes(models, xs_d)
+        return accept
+
+    run_jit = jax.jit(run)
+    run_jit()  # compile
+    jax.block_until_ready(run_jit())
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_jit())
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def bench_cpu_reference(cals, xs, k=10):
+    """The reference's own fit/score algorithm (utils/SIMCA.py:62-75,
+    127-130): 3 sklearn PCA solves per class + reconstruction-based Q."""
+    from sklearn.decomposition import PCA
+
+    t0 = time.perf_counter()
+    for x_cls in cals:
+        pca_full = PCA(n_components=None, svd_solver="full")
+        t_full = pca_full.fit_transform(x_cls)
+        t = t_full[:, :k]
+        invcov = np.linalg.pinv(np.cov(t, rowvar=False))
+        pca_k = PCA(n_components=k, svd_solver="full").fit(x_cls)
+        t_new = pca_k.transform(xs)
+        x_rec = pca_k.inverse_transform(t_new)
+        q = np.sum((xs - x_rec) ** 2, axis=1)
+        t2 = np.einsum("ij,jk,ik->i", t_new, invcov, t_new)
+        del q, t2
+    return time.perf_counter() - t0
+
+
+def main():
+    cals, xs = make_data()
+    n_work = xs.shape[0] * len(cals)          # class-scores produced
+    tpu_t = bench_tpu(cals, xs)
+    cpu_t = bench_cpu_reference(cals, xs)
+    value = n_work / tpu_t
+    baseline = n_work / cpu_t
+    print(json.dumps({
+        "metric": "simca_fit_score_throughput",
+        "value": round(value, 1),
+        "unit": "class-scores/s",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

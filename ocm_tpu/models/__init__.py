@@ -1,3 +1,5 @@
-from ocm_tpu.models import simca
+from ocm_tpu.models import (bundle, cv, simca, trainer, vae, vae_decision,
+                            vaesimca)
 
-__all__ = ["simca"]
+__all__ = ["bundle", "cv", "simca", "trainer", "vae", "vae_decision",
+           "vaesimca"]

@@ -1,0 +1,348 @@
+"""CV-SIMCA: cross-validated component selection as ONE batched solve.
+
+The reference's ``cross_validate_simca_grid`` (utils/CVSIMCA.py:103-269) runs
+a triple host loop — ParameterGrid combos x LV values x folds — refitting
+sklearn PCA from scratch at every point (SURVEY.md section 3.3; the
+BASELINE.json north-star target).  The TPU formulation exploits two
+structural facts:
+
+1. fold membership is a MASK, not a data layout: all fold fits share the
+   padded (N_cls, L) matrix, so the per-fold eigendecompositions are one
+   vmapped batched eigh;
+2. the decomposition is independent of the LV count: scores/eigenvalues are
+   computed once per fold and the whole LV sweep reduces to masked
+   reductions + device-side quantile inversions (the exact-arithmetic
+   identity cov(T) = diag(eigenvalues) removes the per-LV pinv the
+   reference recomputes — T^2 = sum_j<k t_j^2 / lambda_j).
+
+So a full (folds x LV) sweep is: F eigh + 2F GEMMs + elementwise work,
+executed as one jitted program per preprocessing combo.
+
+CV protocol parity (utils/CVSIMCA.py):
+- ``ClasswiseKFoldWithExternalVal`` — KFold over target-class samples only;
+  each fold's test set = held-out target fold + ALL other-class samples
+  (:54-80).  KFold split sizes/order match sklearn (contiguous blocks,
+  first n % k folds one larger; optional shuffle with seeded permutation).
+- spec = mean over folds; sens = recomputed on pooled predictions;
+  eff = sqrt(sens * spec) (:203-208).  The pooled prediction vector uses
+  each target sample's own held-out fold (other-class samples are scored in
+  every fold; the reference's overwrite-by-last-fold semantics only affect
+  entries that never reach the sens computation).
+- best = argmax of refit_metric with first-max tie-break (:228-233), refit
+  on the full data (:251-258).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocm_tpu.models.simca import (SIMCA, MaskedPCA, masked_pca_eig,
+                                  masked_q_limit, masked_t2_limit)
+from ocm_tpu.stats import limits as L
+
+
+# ---------------------------------------------------------------------------
+# Fold construction (host side, sklearn-compatible).
+# ---------------------------------------------------------------------------
+
+def kfold_slices(n: int, n_splits: int, shuffle: bool = False,
+                 random_state: Optional[int] = None) -> list[np.ndarray]:
+    """sklearn ``KFold`` fold indices: contiguous blocks, the first
+    n % n_splits folds one element larger; seeded permutation if shuffled."""
+    if n_splits < 2:
+        raise ValueError("n_splits must be at least 2")
+    if n < n_splits:
+        raise ValueError(
+            f"cannot split {n} samples into {n_splits} folds")
+    idx = np.arange(n)
+    if shuffle:
+        rng = np.random.RandomState(random_state)
+        rng.shuffle(idx)
+    sizes = np.full(n_splits, n // n_splits, dtype=int)
+    sizes[: n % n_splits] += 1
+    out, start = [], 0
+    for s in sizes:
+        out.append(idx[start:start + s])
+        start += s
+    return out
+
+
+class ClasswiseKFoldWithExternalVal:
+    """K-fold over target-class samples with external validation
+    (utils/CVSIMCA.py:39-80): train = target-class minus the held fold;
+    test = held fold + ALL other-class samples.  Accepts ``cls_idx``
+    (explicit indices or a scalar label) or ``cls_label``."""
+
+    def __init__(self, n_splits: int = 5, cls_idx=None, cls_label=None,
+                 shuffle: bool = False, random_state: Optional[int] = None):
+        self.n_splits = n_splits
+        self.cls_idx = None if cls_idx is None else np.asarray(cls_idx)
+        self.cls_label = cls_label
+        self.shuffle = shuffle
+        self.random_state = random_state
+
+    def get_n_splits(self, X=None, y=None, groups=None):
+        return self.n_splits
+
+    def _resolve_cls_idx(self, X, y):
+        cls_idx = self.cls_idx
+        if cls_idx is None and self.cls_label is not None:
+            if y is None:
+                raise ValueError("cls_label requires y in split(X, y)")
+            cls_idx = np.flatnonzero(np.asarray(y) == self.cls_label)
+        if cls_idx is not None and np.ndim(cls_idx) == 0:
+            if y is None:
+                raise ValueError("scalar cls_idx needs y to resolve indices")
+            cls_idx = np.flatnonzero(np.asarray(y) == int(cls_idx))
+        if cls_idx is None or cls_idx.size == 0:
+            raise ValueError("no target-class samples found")
+        if cls_idx.size < self.n_splits:
+            raise ValueError(
+                f"{self.n_splits} splits > {cls_idx.size} target samples")
+        return cls_idx
+
+    def split(self, X, y=None, groups=None):
+        cls_idx = self._resolve_cls_idx(X, y)
+        others = np.setdiff1d(np.arange(np.shape(X)[0]), cls_idx)
+        for fold_rel in kfold_slices(cls_idx.size, self.n_splits,
+                                     self.shuffle, self.random_state):
+            held = cls_idx[fold_rel]
+            train_idx = np.setdiff1d(cls_idx, held)
+            yield train_idx, np.concatenate([held, others])
+
+
+def fold_masks(y, cls_label, n_splits: int, shuffle: bool = False,
+               random_state: Optional[int] = None):
+    """Fold membership as dense masks for the batched solve.
+
+    Returns (train_masks (F, N), held_masks (F, N)): train = target class
+    minus the held fold; held = the held-out target fold.  The external
+    test set of fold f is held_masks[f] | (y != cls_label).
+    """
+    y = np.asarray(y)
+    cls_idx = np.flatnonzero(y == cls_label)
+    folds = kfold_slices(cls_idx.size, n_splits, shuffle, random_state)
+    n = y.shape[0]
+    train = np.zeros((n_splits, n), dtype=bool)
+    held = np.zeros((n_splits, n), dtype=bool)
+    for f, fold_rel in enumerate(folds):
+        h = cls_idx[fold_rel]
+        held[f, h] = True
+        train[f, cls_idx] = True
+        train[f, h] = False
+    return train, held
+
+
+# ---------------------------------------------------------------------------
+# The batched (folds x LV) solve.
+# ---------------------------------------------------------------------------
+
+def _lv_metrics(pca: MaskedPCA, t_train, t_all, xc2_train, xc2_all,
+                w_train, held_mask, other_mask, k,
+                decision_type: str, t2_method: str, q_method: str,
+                t2_cl: float, q_cl: float, d_cl: float):
+    """Decide + score one (fold, LV) cell from the shared decomposition.
+
+    ``t_train``/``t_all`` are full-rank score matrices (one GEMM per fold,
+    reused across every LV); ``xc2_*`` the row norms of the centered data;
+    ``k`` the traced LV count.
+    """
+    r = pca.eigenvalues.shape[0]
+    comp = jnp.arange(r) < k
+    lam = pca.eigenvalues
+    # pinv(cov(T)) == diag(1/lambda) with np.linalg.pinv's relative cutoff
+    cutoff = 1e-15 * jnp.max(lam)
+    inv_lam = jnp.where((lam > cutoff) & comp, 1.0 / jnp.maximum(lam, 1e-300),
+                        0.0)
+
+    t2_train = jnp.sum(t_train * t_train * inv_lam[None, :], axis=1)
+    q_train = jnp.maximum(
+        xc2_train - jnp.sum(jnp.where(comp[None, :], t_train * t_train, 0.0),
+                            axis=1), 0.0)
+
+    thetas = L.residual_thetas(lam, k, max_rank=pca.max_rank)
+    t2_res = masked_t2_limit(t2_train, w_train, pca.n, k, t2_method, t2_cl)
+    q_res = masked_q_limit(q_train, w_train, pca.n, q_method, q_cl, thetas)
+    d_limit = L.critical_distance(decision_type, t2_res, q_res,
+                                  n_components=k, thetas=thetas, dcl=d_cl)
+
+    t2_all = jnp.sum(t_all * t_all * inv_lam[None, :], axis=1)
+    q_all = jnp.maximum(
+        xc2_all - jnp.sum(jnp.where(comp[None, :], t_all * t_all, 0.0),
+                          axis=1), 0.0)
+    dred = L.reduced_distance(decision_type, t2_all, q_all, t2_res, q_res)
+    accept = dred < d_limit
+
+    # fold-level conformity metrics over the external test set
+    # (held target fold + all other-class samples), utils/CVSIMCA.py:195
+    test_mask = held_mask | other_mask
+    in_class = held_mask
+    tp = jnp.sum(accept & in_class & test_mask)
+    fn = jnp.sum(~accept & in_class & test_mask)
+    fp = jnp.sum(accept & ~in_class & test_mask)
+    tn = jnp.sum(~accept & ~in_class & test_mask)
+    sens = tp / (tp + fn) * 100.0
+    spec = tn / (tn + fp) * 100.0
+    return accept, sens, spec
+
+
+def cv_simca_sweep(x, y, cls_label, lv_values: Sequence[int],
+                   n_splits: int = 5, decision_type: str = "alt",
+                   t2_method: str = "Fdist", q_method: str = "jm",
+                   t2_cl: float = 0.95, q_cl: float = 0.95,
+                   d_cl: float = 0.95, shuffle: bool = False,
+                   random_state: Optional[int] = None):
+    """All (fold x LV) fits of one preprocessing combo in one jitted program.
+
+    Returns dict with per-LV aggregates matching utils/CVSIMCA.py:203-208:
+    ``spec`` (L,) fold-mean, ``sens`` (L,) pooled, ``eff`` (L,), plus the
+    pooled prediction matrix ``pred`` (L, N) (target samples from their own
+    held-out fold, other-class samples from the LAST fold, matching the
+    reference's overwrite semantics).
+    """
+    x = jnp.asarray(x)
+    y_np = np.asarray(y)
+    train_np, held_np = fold_masks(y_np, cls_label, n_splits, shuffle,
+                                   random_state)
+    train_m = jnp.asarray(train_np)
+    held_m = jnp.asarray(held_np)
+    other_m = jnp.asarray(y_np != cls_label)
+    lvs = jnp.asarray(list(lv_values), dtype=jnp.int32)
+
+    if decision_type == "dd":
+        t2_method = "chi2pom"
+        q_method = "chi2pom"
+
+    def per_fold(w_train_b, held_b):
+        w = w_train_b.astype(x.dtype)
+        pca = masked_pca_eig(x, w_train_b)
+        xc = x - pca.mean[None, :]
+        t_all = xc @ pca.eigvec          # one GEMM, shared by every LV
+        t_train = t_all * w[:, None]
+        xc2_all = jnp.sum(xc * xc, axis=1)
+        xc2_train = xc2_all * w
+
+        def per_lv(k):
+            return _lv_metrics(pca, t_train, t_all, xc2_train, xc2_all,
+                               w, held_b, other_m, k, decision_type,
+                               t2_method, q_method, t2_cl, q_cl, d_cl)
+
+        return jax.vmap(per_lv)(lvs)     # (L, ...) per fold
+
+    @jax.jit
+    def run():
+        accept, sens, spec = jax.vmap(per_fold)(train_m, held_m)
+        # accept: (F, L, N); spec/sens: (F, L)
+        spec_mean = jnp.mean(spec, axis=0)
+        # pooled predictions: target samples from their own held fold;
+        # other-class samples from the last fold (reference overwrite)
+        own = jnp.einsum("fln,fn->ln", accept.astype(x.dtype),
+                         held_m.astype(x.dtype))
+        pooled = jnp.where(other_m[None, :], accept[-1], own > 0)
+        in_class = ~other_m
+        tp = jnp.sum(pooled & in_class[None, :], axis=1)
+        fn = jnp.sum((~pooled) & in_class[None, :], axis=1)
+        sens_pooled = tp / (tp + fn) * 100.0
+        eff = jnp.sqrt(sens_pooled * spec_mean)
+        return {"pred": pooled, "sens": sens_pooled, "spec": spec_mean,
+                "eff": eff, "fold_sens": sens, "fold_spec": spec}
+
+    return jax.tree.map(np.asarray, run())
+
+
+# ---------------------------------------------------------------------------
+# Grid search wrapper with the reference's API shape.
+# ---------------------------------------------------------------------------
+
+def parameter_grid(param_grid: dict):
+    """sklearn ``ParameterGrid`` iteration order: keys sorted, itertools
+    product with the LAST key varying fastest."""
+    if not param_grid:
+        yield {}
+        return
+    keys = sorted(param_grid)
+    for values in itertools.product(*(param_grid[k] for k in keys)):
+        yield dict(zip(keys, values))
+
+
+def cross_validate_simca_grid(estimator: SIMCA, X, y, cv,
+                              LV_min: int = 2, LV_max: int = 10,
+                              param_grid: Optional[dict] = None,
+                              refit_metric: str = "eff",
+                              class_index=None, print_summary: bool = True,
+                              store_predictions: bool = False):
+    """Grid + LV sweep + classwise CV (utils/CVSIMCA.py:103-269), with the
+    (fold x LV) inner loops executed as one batched device solve per combo.
+
+    ``estimator`` is an ``ocm_tpu.models.simca.SIMCA``; ``cv`` a
+    ``ClasswiseKFoldWithExternalVal`` (its n_splits/shuffle/seed are used).
+    If the grid includes ``n_components`` the LV sweep is skipped
+    (utils/CVSIMCA.py:135-140).  Returns the reference's dict shape:
+    results / best_params / best_LV / best_score / best_estimator.
+    """
+    if param_grid is None:
+        param_grid = {}
+    if refit_metric not in ("eff", "spec", "sens"):
+        raise ValueError(f"unknown refit_metric {refit_metric!r}")
+
+    X = np.asarray(X)
+    y = np.asarray(y)
+    grid_includes_ncomp = any(k.endswith("n_components") for k in param_grid)
+    cls_label = class_index
+    if cls_label is None:
+        mc = estimator.model_class
+        cls_label = (mc[0] if isinstance(mc, list) else mc)
+        if cls_label is None:
+            cls_label = 1  # the reference's getattr(..., 'model_class', 1)
+
+    results = []
+    by_combo = []
+    for combo in parameter_grid(param_grid):
+        params = {**estimator.get_params(), **combo}
+        lv_values = ([int(params["n_components"])] if grid_includes_ncomp
+                     else list(range(LV_min, LV_max + 1)))
+        sweep = cv_simca_sweep(
+            X, y, cls_label, lv_values, n_splits=cv.get_n_splits(X, y),
+            decision_type=params["type"], t2_method=params["t2lim"],
+            q_method=params["qlim"], t2_cl=params["t2cl"],
+            q_cl=params["qcl"], d_cl=params["dcl"],
+            shuffle=getattr(cv, "shuffle", False),
+            random_state=getattr(cv, "random_state", None))
+        for j, lv in enumerate(lv_values):
+            rec = {"params": dict(combo), "LV": lv,
+                   "spec": float(sweep["spec"][j]),
+                   "sens": float(sweep["sens"][j]),
+                   "eff": float(sweep["eff"][j])}
+            results.append(rec)
+            if store_predictions:
+                by_combo.append({"params": dict(combo), "LV": lv,
+                                 "prediction": sweep["pred"][j].astype(float)})
+
+    best_idx = int(np.argmax([r[refit_metric] for r in results]))
+    best = results[best_idx]
+
+    if print_summary:
+        for r in results:
+            print(f"  LV={r['LV']:>2} | SPEC={r['spec']:.4f} | "
+                  f"SENS={r['sens']:.4f} | EFF={r['eff']:.4f}")
+        print(f"[best @ {refit_metric}] LV={best['LV']} | "
+              f"score={best[refit_metric]:.4f} | params={best['params']}")
+
+    best_estimator = SIMCA(**estimator.get_params())
+    best_estimator.set_params(**best["params"])
+    if not grid_includes_ncomp:
+        best_estimator.set_params(n_components=best["LV"])
+    best_estimator.set_params(model_class=cls_label)
+    best_estimator.fit(X, y)
+
+    out = {"results": results, "best_params": dict(best["params"]),
+           "best_LV": best["LV"], "best_score": best[refit_metric],
+           "best_estimator": best_estimator}
+    if store_predictions:
+        out["by_combo"] = by_combo
+    return out

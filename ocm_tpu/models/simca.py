@@ -150,19 +150,27 @@ def predict_classes(models: SIMCAModel, x, decision_type: str = "alt"):
     return jax.vmap(lambda m: simca_decide(m, x, decision_type))(models)
 
 
-def fit_simca_masked(x, w, n_components: int, decision_type: str = "alt",
-                     t2_method: str = "Fdist", q_method: str = "jm",
-                     t2_cl: float = 0.95, q_cl: float = 0.95,
-                     d_cl: float = 0.95, max_rank=None) -> SIMCAModel:
-    """Masked/weighted SIMCA fit: rows with w == 0 are excluded.
+class MaskedPCA(NamedTuple):
+    """Full masked eigendecomposition shared by a whole LV sweep.
 
-    Foundation of the batched CV engine: every (fold x class) fit shares one
-    padded shape, so vmapping gives a single batched eigh + GEMM program.
-    Uses the eigendecomposition of the weighted covariance (L x L) instead
-    of an SVD — identical spectrum, and the batched eigh maps better onto
-    the MXU than batched SVD.  Matches ``fit_simca`` to float tolerance
-    (tests/test_simca.py::test_masked_fit_matches_dense).
+    The expensive work (one eigh + one scores GEMM) is independent of the
+    number of components, so the CV engine computes it ONCE per fold and
+    sweeps LV values with cheap masked reductions (ocm_tpu.models.cv) —
+    where the reference refits sklearn PCA per (fold, LV)
+    (utils/CVSIMCA.py:179-188).
     """
+
+    mean: jnp.ndarray          # (L,)
+    eigvec: jnp.ndarray        # (L, L) columns = loadings, sklearn signs
+    eigenvalues: jnp.ndarray   # (L,) descending, clipped at 0
+    n: jnp.ndarray             # effective sample count sum(w)
+    max_rank: jnp.ndarray      # min(n, L): valid eigenvalue slots
+
+
+def masked_pca_eig(x, w) -> MaskedPCA:
+    """Eigendecomposition of the masked covariance (rows with w == 0 are
+    excluded).  Identical spectrum to the SVD of the masked centered data;
+    the batched eigh maps better onto the MXU than batched SVD."""
     w = w.astype(x.dtype)
     n = jnp.sum(w)
     mean = jnp.sum(x * w[:, None], axis=0) / n
@@ -179,6 +187,75 @@ def fit_simca_masked(x, w, n_components: int, decision_type: str = "alt",
     signs = jnp.sign(eigvec[max_abs_idx, jnp.arange(eigvec.shape[1])])
     signs = jnp.where(signs == 0, 1.0, signs)
     eigvec = eigvec * signs[None, :]
+    max_rank = jnp.minimum(n, x.shape[1]).astype(jnp.int32)
+    return MaskedPCA(mean, eigvec, eigenvalues, n, max_rank)
+
+
+def masked_percentile(v, w, n, cl: float):
+    """np.percentile(v[w > 0], cl*100) with linear interpolation, computed
+    with static shapes: padded entries sort to +inf beyond the true count."""
+    v_sorted = jnp.sort(jnp.where(w > 0, v, jnp.inf))
+    idx = cl * (n - 1.0)
+    lo = jnp.clip(jnp.floor(idx).astype(jnp.int32), 0, v.shape[0] - 1)
+    hi = jnp.clip(lo + 1, 0, v.shape[0] - 1)
+    frac = idx - jnp.floor(idx)
+    v_hi = jnp.where(hi < n, v_sorted[hi], v_sorted[lo])
+    return v_sorted[lo] * (1.0 - frac) + v_hi * frac
+
+
+def masked_moments(v, w, n):
+    """(mean, ddof-1 variance) over entries with w > 0."""
+    m = jnp.sum(v * w) / n
+    var = jnp.sum(w * (v - m) ** 2) / (n - 1.0)
+    return m, var
+
+
+def masked_t2_limit(t2, w, n, k, method: str, cl: float) -> L.LimitResult:
+    """T2 limit engine on masked statistics (traced k supported)."""
+    if method == "perc":
+        return L.LimitResult(masked_percentile(t2, w, n, cl),
+                             jnp.ones((), t2.dtype), jnp.ones((), t2.dtype))
+    if method == "chi2pom":
+        m, var = masked_moments(t2, w, n)
+        dof = jnp.maximum(jnp.where(var > 0, jnp.round(2 * m * m / var), 1.0),
+                          1.0)
+        from ocm_tpu.ops.special import chi2_ppf
+        return L.LimitResult(m * chi2_ppf(cl, dof) / dof, dof, m)
+    return L.t2_limit(t2, k, method, cl, n_samples=n)
+
+
+def masked_q_limit(q, w, n, method: str, cl: float, thetas) -> L.LimitResult:
+    """Q limit engine on masked statistics."""
+    if method == "perc":
+        return L.LimitResult(masked_percentile(q, w, n, cl),
+                             jnp.ones((), q.dtype), jnp.ones((), q.dtype))
+    if method == "chi2pom":
+        m, var = masked_moments(q, w, n)
+        dof = jnp.maximum(jnp.where(var > 0, jnp.round(2 * m * m / var), 1.0),
+                          1.0)
+        from ocm_tpu.ops.special import chi2_ppf
+        return L.LimitResult(m * chi2_ppf(cl, dof) / dof, dof, m)
+    return L.q_limit(q, method, cl, thetas=thetas)
+
+
+def fit_simca_masked(x, w, n_components: int, decision_type: str = "alt",
+                     t2_method: str = "Fdist", q_method: str = "jm",
+                     t2_cl: float = 0.95, q_cl: float = 0.95,
+                     d_cl: float = 0.95, max_rank=None) -> SIMCAModel:
+    """Masked/weighted SIMCA fit: rows with w == 0 are excluded.
+
+    Foundation of the batched CV engine: every (fold x class) fit shares one
+    padded shape, so vmapping gives a single batched eigh + GEMM program.
+    Matches ``fit_simca`` to float tolerance
+    (tests/test_simca.py::test_masked_fit_matches_dense).
+    """
+    pca = masked_pca_eig(x, w)
+    w = w.astype(x.dtype)
+    n = pca.n
+    mean = pca.mean
+    eigvec = pca.eigvec
+    eigenvalues = pca.eigenvalues
+    xc = (x - mean[None, :]) * w[:, None]
 
     p = eigvec[:, :n_components].T
     t = xc @ p.T

@@ -1,0 +1,212 @@
+"""On-device VAE training: the whole multi-epoch loop is ONE jitted program.
+
+The reference trains with a host loop over DataLoader batches, paying a
+host->device copy per batch and a device->host sync per loss item
+(``utils/final_vaesimca.py:357-445``, SURVEY.md section 3.4).  Chemometric
+calibration sets are small (10^2-10^5 spectra x ~500 wavelengths), so the
+TPU-first formulation keeps the WHOLE dataset resident in HBM and runs
+
+    lax.scan over epochs ( lax.scan over minibatches ( jitted train step ) )
+
+with best-checkpoint selection done functionally inside the scan carry
+(jnp.where over the parameter pytree) — zero host round-trips from first to
+last epoch.  Optimizer matches torch ``optim.Adam(lr, weight_decay)``
+(utils/final_vaesimca.py:351): L2 penalty added to the gradient BEFORE the
+Adam moments (not decoupled AdamW).
+
+Batching semantics: torch DataLoader(shuffle=True) keeps a ragged final
+batch; static XLA shapes instead use ceil(N/B) steps with the epoch
+permutation wrapped around to fill the last batch (documented deviation —
+a handful of samples are seen twice per epoch; the optimization trajectory
+cannot match torch bit-wise anyway since RNG streams differ).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ocm_tpu.models.bundle import OCMBundle, new_bundle, spectral_stats
+from ocm_tpu.models.vae import ConvVAE1D, beta_vae_loss, init_vae
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Hyperparameters of one VAE training run (the reference's ``param``
+    dict, utils/final_vaesimca.py:267-301)."""
+
+    epochs: int = 100
+    batch_size: int = 64
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    beta: float = 1.0
+    loss_type: str = "cosine"   # cosine | bce | euclidean | bce_prob
+
+
+class TrainResult(NamedTuple):
+    bundle: OCMBundle            # best-val-epoch parameters (thresholds unset)
+    train_losses: jnp.ndarray    # (epochs,)
+    val_losses: jnp.ndarray      # (epochs,)
+    best_epoch: jnp.ndarray      # scalar int
+    final_params: Any            # last-epoch params (for resume)
+    final_batch_stats: Any
+    final_opt_state: Any
+
+
+def torch_adam(lr: float, weight_decay: float = 0.0):
+    """optax equivalent of torch.optim.Adam(lr=lr, weight_decay=wd):
+    g <- g + wd*p, then Adam(b1=0.9, b2=0.999, eps=1e-8)."""
+    steps = []
+    if weight_decay:
+        steps.append(optax.add_decayed_weights(weight_decay))
+    steps.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    steps.append(optax.scale(-lr))
+    return optax.chain(*steps)
+
+
+def _batch_indices(rng, n: int, batch_size: int):
+    """Shuffled epoch indices, wrapped to fill ceil(n/B) full batches."""
+    steps = -(-n // batch_size)
+    perm = jax.random.permutation(rng, n)
+    pad = steps * batch_size - n
+    filled = jnp.concatenate([perm, perm[:pad]]) if pad else perm
+    return filled.reshape(steps, batch_size)
+
+
+def make_train_step(model: ConvVAE1D, tx, cfg: TrainConfig):
+    """One jitted optimizer step over a standardized minibatch."""
+
+    def step(params, batch_stats, opt_state, xb_std, rng):
+        r1, r2 = jax.random.split(rng)
+
+        def loss_fn(p):
+            variables = {"params": p}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out, mutated = model.apply(
+                variables, xb_std, train=True,
+                rngs={"reparam": r1, "dropout": r2},
+                mutable=["batch_stats"] if batch_stats else [])
+            x_rec, mu, logvar = out
+            total, recon, kl = beta_vae_loss(xb_std, x_rec, mu, logvar,
+                                             beta=cfg.beta,
+                                             loss_type=cfg.loss_type)
+            new_bs = mutated.get("batch_stats", batch_stats) if batch_stats else batch_stats
+            return total, (recon, kl, new_bs)
+
+        (total, (recon, kl, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, total
+
+    return step
+
+
+def make_eval_loss(model: ConvVAE1D, cfg: TrainConfig):
+    """Validation loss over a full standardized set (stochastic forward, as
+    the reference's eval-mode forward still samples z;
+    utils/final_vaesimca.py:380-393)."""
+
+    def eval_loss(params, batch_stats, x_std, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        x_rec, mu, logvar = model.apply(variables, x_std, train=False,
+                                        rngs={"reparam": rng})
+        total, _, _ = beta_vae_loss(x_std, x_rec, mu, logvar, beta=cfg.beta,
+                                    loss_type=cfg.loss_type)
+        return total
+
+    return eval_loss
+
+
+def train_vae(model: ConvVAE1D, x_cal, x_val, cfg: TrainConfig,
+              rng: jax.Array, spec_stats: Optional[tuple] = None,
+              donate: bool = False) -> TrainResult:
+    """Train one VAE fully on device and return the best-val-epoch bundle.
+
+    ``x_cal``/``x_val`` are RAW spectra; standardization stats are computed
+    on the calibration set (utils/final_vaesimca.py:261-262) unless passed.
+    The loss is computed in standardized space, matching the reference
+    (its ``vae(xb)`` returns unstandardized x_rec and compares against raw
+    x, which is equivalent up to the per-wavelength scale; we standardize
+    once up front so the network never leaves standardized space —
+    equivalent for cosine/euclidean up to the fixed linear map, exact for
+    decisions since thresholds are refit in the same space).
+    """
+    x_cal = jnp.asarray(x_cal)
+    x_val = jnp.asarray(x_val)
+    if spec_stats is None:
+        mean, std = spectral_stats(np.asarray(x_cal))
+    else:
+        mean, std = spec_stats
+    mean = jnp.asarray(mean, x_cal.dtype)
+    std = jnp.asarray(std, x_cal.dtype)
+    xc_std = (x_cal - mean) / std
+    xv_std = (x_val - mean) / std
+
+    init_rng, train_rng = jax.random.split(rng)
+    params, batch_stats = init_vae(model, init_rng)
+    tx = torch_adam(cfg.lr, cfg.weight_decay)
+    opt_state = tx.init(params)
+
+    step_fn = make_train_step(model, tx, cfg)
+    eval_fn = make_eval_loss(model, cfg)
+    n = x_cal.shape[0]
+    batch_size = min(cfg.batch_size, n)
+
+    def epoch_body(carry, epoch):
+        params, batch_stats, opt_state, best = carry
+        ep_rng = jax.random.fold_in(train_rng, epoch)
+        idx = _batch_indices(jax.random.fold_in(ep_rng, 0), n, batch_size)
+
+        def step_body(inner, si):
+            p, bs, os = inner
+            xb = xc_std[idx[si]]
+            p, bs, os, loss = step_fn(p, bs, os, xb,
+                                      jax.random.fold_in(ep_rng, 1 + si))
+            return (p, bs, os), loss
+
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            step_body, (params, batch_stats, opt_state),
+            jnp.arange(idx.shape[0]))
+        train_loss = jnp.mean(losses)
+        val_loss = eval_fn(params, batch_stats, xv_std,
+                           jax.random.fold_in(ep_rng, 1 + idx.shape[0]))
+
+        best_val, best_params, best_bs, best_epoch = best
+        is_best = val_loss < best_val
+        best_val = jnp.where(is_best, val_loss, best_val)
+        best_epoch = jnp.where(is_best, epoch, best_epoch)
+        take = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(is_best, a, b), new, old)
+        best = (best_val, take(params, best_params),
+                take(batch_stats, best_bs), best_epoch)
+        return (params, batch_stats, opt_state, best), (train_loss, val_loss)
+
+    init_best = (jnp.asarray(jnp.inf, xc_std.dtype), params, batch_stats,
+                 jnp.asarray(0))
+
+    @jax.jit
+    def run(params, batch_stats, opt_state):
+        carry = (params, batch_stats, opt_state,
+                 (init_best[0], params, batch_stats, init_best[3]))
+        carry, (train_losses, val_losses) = jax.lax.scan(
+            epoch_body, carry, jnp.arange(cfg.epochs))
+        params, batch_stats, opt_state, best = carry
+        _, best_params, best_bs, best_epoch = best
+        return (params, batch_stats, opt_state, best_params, best_bs,
+                best_epoch, train_losses, val_losses)
+
+    (f_params, f_bs, f_opt, best_params, best_bs, best_epoch,
+     train_losses, val_losses) = run(params, batch_stats, opt_state)
+
+    bundle = new_bundle(best_params, best_bs, mean, std, model.latent_dim)
+    return TrainResult(bundle, train_losses, val_losses, best_epoch,
+                       f_params, f_bs, f_opt)

@@ -1,0 +1,3 @@
+from ocm_tpu.parallel import mesh, simca_dist, train_dist
+
+__all__ = ["mesh", "simca_dist", "train_dist"]

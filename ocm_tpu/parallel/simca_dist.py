@@ -1,0 +1,192 @@
+"""Distributed SIMCA: sample-sharded fit and scoring over a device mesh.
+
+TPU-native equivalent of scale the reference never had (SURVEY.md section
+5.8): spectra shard across chips on the ``'data'`` mesh axis; the class
+covariance accumulates with ``psum`` (sum_x, X^T X are the only cross-chip
+traffic — O(L) and O(L^2), independent of sample count); the eigh and limit
+engines run replicated on the tiny (L, L) covariance; scoring stays fully
+sharded with zero collectives.
+
+The fitted model is numerically identical to the single-chip
+``fit_simca_masked`` (tests/test_parallel.py) because the math is the same
+sums in a different order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ocm_tpu.models.simca import (SIMCAModel, masked_q_limit,
+                                  masked_t2_limit)
+from ocm_tpu.ops.linalg import pinv_psd
+from ocm_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
+from ocm_tpu.stats import limits as L
+
+
+def fit_simca_sharded(x, w, n_components: int, mesh: Mesh,
+                      decision_type: str = "alt", t2_method: str = "Fdist",
+                      q_method: str = "jm", t2_cl: float = 0.95,
+                      q_cl: float = 0.95, d_cl: float = 0.95,
+                      axis: str = DATA_AXIS) -> SIMCAModel:
+    """Masked SIMCA fit with the sample axis sharded over ``mesh[axis]``.
+
+    ``x``: (N, L) with N divisible by the axis size; ``w``: (N,) row mask
+    (0 = padding/excluded).  Returns a fully-replicated SIMCAModel.
+    """
+    x = jnp.asarray(x)
+    w = jnp.asarray(w, x.dtype)
+    n_total, n_features = x.shape
+
+    def fit_local(x_loc, w_loc):
+        # ---- psum-accumulated class statistics --------------------------
+        n = jax.lax.psum(jnp.sum(w_loc), axis)
+        sum_x = jax.lax.psum(jnp.sum(x_loc * w_loc[:, None], axis=0), axis)
+        mean = sum_x / n
+        xc = (x_loc - mean[None, :]) * w_loc[:, None]
+        gram = jax.lax.psum(xc.T @ xc, axis)          # (L, L) cross-chip
+        c = gram / (n - 1.0)
+
+        # ---- replicated eigendecomposition ------------------------------
+        eigval, eigvec = jnp.linalg.eigh(c)
+        eigval = jnp.maximum(eigval[::-1], 0.0)
+        eigvec = eigvec[:, ::-1]
+        max_abs_idx = jnp.argmax(jnp.abs(eigvec), axis=0)
+        signs = jnp.sign(eigvec[max_abs_idx, jnp.arange(eigvec.shape[1])])
+        eigvec = eigvec * jnp.where(signs == 0, 1.0, signs)[None, :]
+        p = eigvec[:, :n_components].T
+
+        # ---- sharded scores, psum score covariance ----------------------
+        t = xc @ p.T                                   # (n_loc, k) local
+        t_sum = jax.lax.psum(jnp.sum(t * w_loc[:, None], axis=0), axis)
+        tm = t_sum / n
+        tc = (t - tm[None, :]) * w_loc[:, None]
+        invcovT = pinv_psd(jax.lax.psum(tc.T @ tc, axis) / (n - 1.0))
+        t2_loc = jnp.einsum("ij,jk,ik->i", t, invcovT, t)
+        q_loc = jnp.maximum(jnp.sum(xc * xc, axis=-1)
+                            - jnp.sum(t * t, axis=-1), 0.0)
+
+        # ---- limits on gathered train statistics (N scalars — tiny) -----
+        t2_all = jax.lax.all_gather(t2_loc, axis, tiled=True)
+        q_all = jax.lax.all_gather(q_loc, axis, tiled=True)
+        w_all = jax.lax.all_gather(w_loc, axis, tiled=True)
+        max_rank = jnp.minimum(n, n_features).astype(jnp.int32)
+        thetas = L.residual_thetas(eigval, n_components, max_rank=max_rank)
+        t2_res = masked_t2_limit(t2_all, w_all, n, n_components,
+                                 t2_method, t2_cl)
+        q_res = masked_q_limit(q_all, w_all, n, q_method, q_cl, thetas)
+        d_limit = L.critical_distance(decision_type, t2_res, q_res,
+                                      n_components=n_components,
+                                      thetas=thetas, dcl=d_cl)
+        return SIMCAModel(
+            mean=mean, components=p, invcovT=invcovT, eigenvalues=eigval,
+            t2_res=t2_res, q_res=q_res, d_limit=d_limit,
+            t2_train=jnp.where(w_all > 0, t2_all, 0.0),
+            q_train=jnp.where(w_all > 0, q_all, 0.0),
+            n_samples=n.astype(jnp.int32))
+
+    fit = shard_map(
+        fit_local, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=SIMCAModel(
+            mean=P(), components=P(), invcovT=P(), eigenvalues=P(),
+            t2_res=L.LimitResult(P(), P(), P()),
+            q_res=L.LimitResult(P(), P(), P()), d_limit=P(),
+            t2_train=P(), q_train=P(), n_samples=P()),
+        check_vma=False)
+    return jax.jit(fit)(x, w)
+
+
+def predict_sharded(model: SIMCAModel, x, mesh: Mesh,
+                    decision_type: str = "alt", axis: str = DATA_AXIS):
+    """Sharded batch scoring: each chip scores its spectra shard against the
+    replicated model — zero collectives, linear scaling in chips.
+
+    Returns (accept, dred, t2, q), all sharded along the sample axis.
+    """
+    from ocm_tpu.models.simca import simca_decide
+
+    decide = functools.partial(simca_decide, decision_type=decision_type)
+    fn = jax.jit(
+        decide,
+        in_shardings=(jax.tree.map(lambda _: replicated(mesh), model),
+                      batch_sharding(mesh, axis)),
+        out_shardings=batch_sharding(mesh, axis))
+    return fn(model, jnp.asarray(x))
+
+
+def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
+                     n_splits: int = 5, model_axis: str = "model",
+                     **kwargs):
+    """CV fold axis sharded over the mesh: distinct fold fits on distinct
+    chips (embarrassingly parallel — the 'model' axis of SURVEY.md 5.8).
+
+    The (fold x LV) batched solve of ocm_tpu.models.cv runs unchanged; only
+    the vmapped fold axis is placed on the mesh, so each chip computes
+    n_splits / n_chips eigendecompositions.  Aggregation (fold means,
+    pooled predictions) happens on the replicated outputs.
+    """
+    import numpy as np
+
+    from ocm_tpu.models import cv as cv_mod
+
+    x = jnp.asarray(x)
+    y_np = np.asarray(y)
+    train_np, held_np = cv_mod.fold_masks(y_np, cls_label, n_splits)
+    n_chips = mesh.shape[model_axis]
+    if n_splits % n_chips:
+        raise ValueError(f"n_splits={n_splits} not divisible by mesh axis "
+                         f"{model_axis!r} of size {n_chips}")
+    lvs = jnp.asarray(list(lv_values), dtype=jnp.int32)
+    other_m = jnp.asarray(y_np != cls_label)
+
+    decision_type = kwargs.pop("decision_type", "alt")
+    t2_method = kwargs.pop("t2_method", "Fdist")
+    q_method = kwargs.pop("q_method", "jm")
+    if decision_type == "dd":
+        t2_method = q_method = "chi2pom"
+    t2_cl = kwargs.pop("t2_cl", 0.95)
+    q_cl = kwargs.pop("q_cl", 0.95)
+    d_cl = kwargs.pop("d_cl", 0.95)
+
+    from ocm_tpu.models.simca import masked_pca_eig
+
+    def per_fold(w_train_b, held_b):
+        w = w_train_b.astype(x.dtype)
+        pca = masked_pca_eig(x, w_train_b)
+        xc = x - pca.mean[None, :]
+        t_all = xc @ pca.eigvec
+        t_train = t_all * w[:, None]
+        xc2_all = jnp.sum(xc * xc, axis=1)
+
+        def per_lv(k):
+            return cv_mod._lv_metrics(pca, t_train, t_all, xc2_all * w,
+                                      xc2_all, w, held_b, other_m, k,
+                                      decision_type, t2_method, q_method,
+                                      t2_cl, q_cl, d_cl)
+
+        return jax.vmap(per_lv)(lvs)
+
+    folds_sharding = NamedSharding(mesh, P(model_axis))
+    run = jax.jit(jax.vmap(per_fold),
+                  in_shardings=(folds_sharding, folds_sharding),
+                  out_shardings=(folds_sharding, folds_sharding,
+                                 folds_sharding))
+    accept, sens, spec = run(jnp.asarray(train_np), jnp.asarray(held_np))
+
+    spec_mean = jnp.mean(spec, axis=0)
+    own = jnp.einsum("fln,fn->ln", accept.astype(x.dtype),
+                     jnp.asarray(held_np, x.dtype))
+    pooled = jnp.where(other_m[None, :], accept[-1], own > 0)
+    in_class = ~other_m
+    tp = jnp.sum(pooled & in_class[None, :], axis=1)
+    fn_ = jnp.sum((~pooled) & in_class[None, :], axis=1)
+    sens_pooled = tp / (tp + fn_) * 100.0
+    return {"pred": np.asarray(pooled), "sens": np.asarray(sens_pooled),
+            "spec": np.asarray(spec_mean),
+            "eff": np.asarray(jnp.sqrt(sens_pooled * spec_mean))}

@@ -1,0 +1,198 @@
+"""Data layer tests: sklearn-equivalent shuffling, object-aware splits,
+outlier removal, HSI extraction, HDF5 store, artifact JSON."""
+
+import numpy as np
+import pytest
+
+from ocm_tpu.utils.io import (extract_objects, load_json,
+                              read_object_store, save_json,
+                              write_object_store)
+from ocm_tpu.utils.outliers import (effective_n_components,
+                                    mahalanobis_outlier_mask)
+from ocm_tpu.utils.splits import ObjectSplits, object_aware_splits, shuffle_split
+
+
+# ---------------------------------------------------------------------------
+# shuffle_split == sklearn train_test_split
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n,test_size,seed", [
+    (10, 0.3, 42), (7, 0.15, 42), (23, 0.5, 0), (3, 0.34, 7),
+])
+def test_shuffle_split_matches_sklearn(n, test_size, seed):
+    sklearn_ms = pytest.importorskip("sklearn.model_selection")
+    items = list(range(100, 100 + n))
+    tr_sk, te_sk = sklearn_ms.train_test_split(items, test_size=test_size,
+                                               random_state=seed)
+    tr, te = shuffle_split(items, test_size, seed)
+    assert tr == list(tr_sk)
+    assert te == list(te_sk)
+
+
+def test_shuffle_split_empty_raises():
+    with pytest.raises(ValueError):
+        shuffle_split([1], 0.5, 0)
+
+
+# ---------------------------------------------------------------------------
+# outlier removal
+# ---------------------------------------------------------------------------
+
+def test_outlier_mask_removes_planted_outliers(rng):
+    x = rng.normal(0, 1, (200, 30))
+    x[:5] += 25.0  # gross outliers
+    keep, mahal, thr = mahalanobis_outlier_mask(x, n_components=5)
+    keep = np.asarray(keep)
+    assert not keep[:5].any()
+    # percentile rule keeps ~95%
+    assert abs(keep.mean() - 0.95) < 0.02
+    # sqrt vs squared variants agree on the decision
+    keep2, _, _ = mahalanobis_outlier_mask(x, n_components=5, squared=True)
+    np.testing.assert_array_equal(keep, np.asarray(keep2))
+
+
+def test_effective_n_components():
+    assert effective_n_components(100, 50) == 10
+    assert effective_n_components(5, 50) == 4
+    assert effective_n_components(100, 3) == 3
+    assert effective_n_components(1, 50) == 1
+
+
+# ---------------------------------------------------------------------------
+# object-aware splits
+# ---------------------------------------------------------------------------
+
+def _objects(rng, n_objects, pixels, length, shift=0.0):
+    t = np.linspace(0, 1, length)
+    base = np.sin(2 * np.pi * (3 + shift) * t)
+    out = []
+    for _ in range(n_objects):
+        amp = rng.normal(1, 0.05, (pixels, 1))
+        out.append((amp * base + rng.normal(0, 0.02, (pixels, length)))
+                   .astype(np.float32))
+    return out
+
+
+@pytest.fixture
+def split_data(rng):
+    return {
+        "almond": _objects(rng, 10, 20, 64),
+        "peanut": _objects(rng, 6, 15, 64, shift=1.0),
+        "empty": [],
+    }
+
+
+def test_object_aware_splits_no_object_straddles(split_data):
+    res = object_aware_splits(split_data, ["almond", "peanut", "empty"],
+                              "almond", 64, verbose=False)
+    assert isinstance(res, ObjectSplits)
+    # every object contributes 20 (almond) or 15 (peanut) rows minus
+    # outliers; splits are unions of whole objects, so sizes are sums of
+    # per-object counts — verify no partial objects by total conservation
+    s = res.splits["almond"]
+    total = s["cal"].shape[0] + s["val"].shape[0] + s["test"].shape[0]
+    assert total <= 10 * 20
+    assert s["cal"].shape[0] > 0 and s["test"].shape[0] > 0
+    # global test set = target test (label 0) + other test (label 1)
+    assert res.x_test.shape[0] == res.y_test.shape[0]
+    assert (res.y_test == 0).sum() == res.x_test_in.shape[0]
+    assert (res.y_test == 1).sum() == res.x_test_out.shape[0]
+    # empty class handled
+    assert res.splits["empty"]["cal"].shape == (0, 64)
+
+
+def test_object_aware_splits_nan_rows_dropped(split_data):
+    split_data["almond"][0][3, :] = np.nan
+    split_data["almond"][1][2, 5] = np.inf
+    res = object_aware_splits(split_data, ["almond", "peanut"], "almond", 64,
+                              verbose=False, use_pca=False)
+    s = res.splits["almond"]
+    total = s["cal"].shape[0] + s["val"].shape[0] + s["test"].shape[0]
+    assert total == 10 * 20 - 2
+
+
+def test_object_aware_splits_deterministic(split_data):
+    r1 = object_aware_splits(split_data, ["almond", "peanut"], "almond", 64,
+                             verbose=False)
+    r2 = object_aware_splits(split_data, ["almond", "peanut"], "almond", 64,
+                             verbose=False)
+    np.testing.assert_array_equal(r1.x_cal, r2.x_cal)
+    np.testing.assert_array_equal(r1.x_test, r2.x_test)
+
+
+def test_object_aware_splits_two_and_one_objects(rng):
+    data = {"a": _objects(rng, 2, 10, 32), "b": _objects(rng, 1, 10, 32)}
+    res = object_aware_splits(data, ["a", "b"], "a", 32, verbose=False,
+                              use_pca=False)
+    assert res.splits["a"]["cal"].shape[0] == 10
+    assert res.splits["a"]["val"].shape[0] == 0
+    assert res.splits["a"]["test"].shape[0] == 10
+    assert res.splits["b"]["test"].shape[0] == 0   # single object -> cal only
+
+
+def test_object_aware_splits_bad_fracs(split_data):
+    with pytest.raises(ValueError):
+        object_aware_splits(split_data, ["almond"], "almond", 64,
+                            cal_frac=0.5, val_frac=0.1, test_frac=0.1)
+
+
+def test_object_aware_splits_dict_entries(rng):
+    data = {"a": [{"spectral_data": o} for o in _objects(rng, 5, 12, 32)]}
+    res = object_aware_splits(data, ["a"], "a", 32, verbose=False,
+                              use_pca=False)
+    assert res.x_cal.shape[1] == 32
+
+
+# ---------------------------------------------------------------------------
+# HSI extraction + HDF5 store
+# ---------------------------------------------------------------------------
+
+def test_extract_objects_segments_blobs():
+    cube = np.zeros((20, 20, 8), dtype=np.float32)
+    cube[2:6, 2:6, :] = 1.0          # object 1: 16 px
+    cube[10:14, 10:15, :] = 2.0      # object 2: 20 px
+    cube[0, 19, :] = 1.0             # 1-px object
+    objs = extract_objects(cube, background_threshold=0.5)
+    sizes = sorted(o["n_pixels"] for o in objs)
+    assert sizes == [1, 16, 20]
+    big = max(objs, key=lambda o: o["n_pixels"])
+    assert big["spectral_data"].shape == (20, 8)
+    np.testing.assert_allclose(big["mean_spectrum"], 2.0)
+    # 8-connectivity: diagonal touching merges
+    cube2 = np.zeros((6, 6, 2), dtype=np.float32)
+    cube2[0, 0] = 1.0
+    cube2[1, 1] = 1.0
+    objs2 = extract_objects(cube2, 0.5)
+    assert len(objs2) == 1 and objs2[0]["n_pixels"] == 2
+
+
+def test_object_store_roundtrip(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    del h5py
+    cube = np.zeros((12, 12, 5), dtype=np.float32)
+    cube[1:4, 1:4, :] = 1.5
+    cube[7:10, 7:11, :] = 2.5
+    objs = extract_objects(cube, 0.5)
+    path = str(tmp_path / "store.h5")
+    write_object_store(path, {"almond": [objs], "peanut": [objs[:1]]})
+    back = read_object_store(path)
+    assert set(back) == {"almond", "peanut"}
+    assert len(back["almond"]) == 2
+    assert len(back["peanut"]) == 1
+    got = {o["n_pixels"]: o for o in back["almond"]}
+    want = {o["n_pixels"]: o for o in objs}
+    for n, o in want.items():
+        np.testing.assert_allclose(got[n]["spectral_data"],
+                                   o["spectral_data"])
+
+
+def test_json_artifacts_roundtrip(tmp_path):
+    run = str(tmp_path / "run0")
+    payload = {"lr": np.float32(0.001), "epochs": np.int64(10),
+               "losses": np.arange(3.0), "nested": {"a": [np.float64(1.5)]}}
+    save_json(payload, run, "params.json")
+    back = load_json(run, "params.json")
+    assert back["lr"] == pytest.approx(0.001)
+    assert back["epochs"] == 10
+    assert back["losses"] == [0.0, 1.0, 2.0]
+    assert back["nested"]["a"] == [1.5]

@@ -1,0 +1,125 @@
+"""SPMD tests on the virtual 8-device CPU mesh (conftest forces
+xla_force_host_platform_device_count=8, the standard way to exercise
+sharding without a TPU pod)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocm_tpu.models.cv import cv_simca_sweep
+from ocm_tpu.models.simca import fit_simca_masked, simca_decide
+from ocm_tpu.parallel.mesh import make_mesh, pad_to_multiple, shard_batch
+from ocm_tpu.parallel.simca_dist import (cv_sweep_sharded,
+                                         fit_simca_sharded, predict_sharded)
+
+from oracles import make_class_spectra
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "tests need the virtual 8-device mesh"
+    return make_mesh((8,), ("data",))
+
+
+@pytest.fixture(scope="module")
+def cls_data():
+    rng = np.random.default_rng(21)
+    x = make_class_spectra(rng, 120, 40)
+    return x
+
+
+def test_mesh_construction_errors():
+    with pytest.raises(ValueError):
+        make_mesh((3,), ("data",))          # 3 != 8 devices
+    m = make_mesh((2, 4), ("data", "model"))
+    assert m.shape["data"] == 2 and m.shape["model"] == 4
+
+
+def test_shard_batch_divisibility(mesh, cls_data):
+    with pytest.raises(ValueError):
+        shard_batch(jnp.asarray(cls_data[:10]), mesh)
+    padded, n_true = pad_to_multiple(cls_data[:10], 8)
+    assert padded.shape[0] == 16 and n_true == 10
+    np.testing.assert_array_equal(padded[10], padded[9])  # edge padding
+
+
+def test_sharded_fit_matches_masked(mesh, cls_data):
+    x, n_true = pad_to_multiple(cls_data, 8)
+    w = (np.arange(x.shape[0]) < n_true).astype(np.float64)
+    for dt, t2m, qm in [("alt", "Fdist", "jm"), ("dd", "chi2pom", "chi2pom"),
+                        ("ci", "perc", "perc")]:
+        m_dist = fit_simca_sharded(x, w, 5, mesh, decision_type=dt,
+                                   t2_method=t2m, q_method=qm)
+        m_ref = fit_simca_masked(jnp.asarray(x), jnp.asarray(w), 5,
+                                 decision_type=dt, t2_method=t2m,
+                                 q_method=qm)
+        np.testing.assert_allclose(np.asarray(m_dist.mean),
+                                   np.asarray(m_ref.mean), atol=1e-12)
+        np.testing.assert_allclose(np.abs(np.asarray(m_dist.components)),
+                                   np.abs(np.asarray(m_ref.components)),
+                                   atol=1e-9)
+        np.testing.assert_allclose(float(m_dist.t2_res.limit),
+                                   float(m_ref.t2_res.limit), rtol=1e-9)
+        np.testing.assert_allclose(float(m_dist.q_res.limit),
+                                   float(m_ref.q_res.limit), rtol=1e-9)
+        np.testing.assert_allclose(float(m_dist.d_limit),
+                                   float(m_ref.d_limit), rtol=1e-9)
+
+
+def test_sharded_predict_matches_local(mesh, cls_data):
+    x, n_true = pad_to_multiple(cls_data, 8)
+    w = (np.arange(x.shape[0]) < n_true).astype(np.float64)
+    model = fit_simca_sharded(x, w, 5, mesh)
+    rng = np.random.default_rng(3)
+    x_new, _ = pad_to_multiple(make_class_spectra(rng, 60, 40,
+                                                  center_shift=0.5), 8)
+    acc_d, dred_d, t2_d, q_d = predict_sharded(model, x_new, mesh)
+    acc_l, dred_l, t2_l, q_l = simca_decide(model, jnp.asarray(x_new), "alt")
+    np.testing.assert_array_equal(np.asarray(acc_d), np.asarray(acc_l))
+    np.testing.assert_allclose(np.asarray(dred_d), np.asarray(dred_l),
+                               rtol=1e-9)
+
+
+def test_cv_sweep_sharded_matches_local(cls_data):
+    rng = np.random.default_rng(5)
+    x_other = make_class_spectra(rng, 40, 40, center_shift=1.5)
+    x = np.concatenate([cls_data, x_other])
+    y = np.concatenate([np.zeros(len(cls_data)), np.ones(len(x_other))])
+    mesh = make_mesh((8,), ("model",))
+    lvs = [2, 4, 6]
+    got = cv_sweep_sharded(x, y, 0, lvs, mesh, n_splits=8)
+    want = cv_simca_sweep(x, y, 0, lvs, n_splits=8)
+    np.testing.assert_allclose(got["spec"], want["spec"], atol=1e-8)
+    np.testing.assert_allclose(got["sens"], want["sens"], atol=1e-8)
+
+
+def test_cv_sweep_sharded_divisibility(cls_data):
+    rng = np.random.default_rng(5)
+    x_other = make_class_spectra(rng, 30, 40, center_shift=1.5)
+    x = np.concatenate([cls_data, x_other])
+    y = np.concatenate([np.zeros(len(cls_data)), np.ones(len(x_other))])
+    mesh = make_mesh((8,), ("model",))
+    with pytest.raises(ValueError):
+        cv_sweep_sharded(x, y, 0, [2], mesh, n_splits=5)
+
+
+def test_dp_training_runs_and_learns(mesh):
+    from ocm_tpu.models.trainer import TrainConfig
+    from ocm_tpu.models.vae import ConvVAE1D
+    from ocm_tpu.parallel.train_dist import train_vae_dp
+
+    rng = np.random.default_rng(9)
+    t = np.linspace(0, 1, 48)
+    base = np.sin(2 * np.pi * 3 * t)
+    mk = lambda n: (rng.normal(1, 0.05, (n, 1)) * base
+                    + rng.normal(0, 0.02, (n, 48))).astype(np.float32)
+    model = ConvVAE1D(input_length=48, latent_dim=4, conv_blocks=2,
+                      n_filters=8, hidden_fc=32, bn_axis_name="data")
+    cfg = TrainConfig(epochs=4, batch_size=32, lr=2e-3,
+                      loss_type="euclidean")
+    bundle, tl, vl, best_ep = train_vae_dp(model, mk(96), mk(32), cfg,
+                                           jax.random.key(0), mesh)
+    assert np.all(np.isfinite(tl)) and np.all(np.isfinite(vl))
+    assert tl[-1] < tl[0]
+    assert 0 <= best_ep < 4

@@ -1,0 +1,131 @@
+"""Sweep runner, vmapped config-batch training, HPO, report plots."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocm_tpu.models.vae import ConvVAE1D
+from ocm_tpu.utils.sweep import (grid_product, random_search,
+                                 run_vae_sweep, sample_config,
+                                 train_vae_vmapped)
+
+
+def make_data(rng, n=64, length=48, shift=0.0):
+    t = np.linspace(0, 1, length)
+    base = np.sin(2 * np.pi * (3 + shift) * t) + shift
+    return (rng.normal(1, 0.05, (n, 1)) * base
+            + rng.normal(0, 0.02, (n, length))).astype(np.float32)
+
+
+def test_grid_product():
+    base = {"epochs": 5, "lr": 1e-3}
+    grid = {"lr": [1e-3, 1e-2], "beta": [0.1, 1.0]}
+    combos = grid_product(base, grid)
+    assert len(combos) == 4
+    assert all(c["epochs"] == 5 for c in combos)
+    assert {c["lr"] for c in combos} == {1e-3, 1e-2}
+
+
+def test_run_vae_sweep_resume(tmp_path):
+    rng = np.random.default_rng(0)
+    x_cal, x_val = make_data(rng), make_data(rng, 24)
+    x_out = make_data(rng, 32, shift=2.0)
+    x_test = np.concatenate([make_data(rng, 32), x_out])
+    y_test = np.concatenate([np.zeros(32, int), np.ones(32, int)])
+    configs = grid_product(
+        {"epochs": 3, "batch_size": 32, "latent_dim": 4, "conv_blocks": 2,
+         "n_filters": 8, "hidden_fc": 32, "loss_type": "euclidean"},
+        {"lr": [1e-3, 3e-3]})
+    out = str(tmp_path / "sweep")
+    res1 = run_vae_sweep(configs, x_cal, x_val, x_test, y_test, out,
+                         verbose=False)
+    assert len(res1) == 2
+    assert all("accuracy" in r for r in res1)
+    assert os.path.exists(os.path.join(out, "run_0001", "metrics.json"))
+    assert os.path.exists(os.path.join(out, "all_metrics.json"))
+    # resume: second call re-reads persisted metrics, trains nothing new
+    res2 = run_vae_sweep(configs, x_cal, x_val, x_test, y_test, out,
+                         verbose=False)
+    assert [r["accuracy"] for r in res2] == [r["accuracy"] for r in res1]
+
+
+def test_train_vae_vmapped_trains_distinct_configs():
+    rng = np.random.default_rng(1)
+    x_cal, x_val = make_data(rng, 64), make_data(rng, 24)
+    model = ConvVAE1D(input_length=48, latent_dim=4, conv_blocks=2,
+                      n_filters=8, hidden_fc=32)
+    res = train_vae_vmapped(model, x_cal, x_val,
+                            lrs=[1e-3, 3e-3, 1e-2],
+                            weight_decays=[0.0, 1e-4, 0.0],
+                            betas=[1.0, 0.1, 1.0],
+                            epochs=4, batch_size=32, loss_type="euclidean",
+                            rng=jax.random.key(0))
+    tl = np.asarray(res.train_losses)        # (3, epochs)
+    assert tl.shape == (3, 4)
+    assert np.all(np.isfinite(tl))
+    assert np.all(tl[:, -1] < tl[:, 0])
+    # distinct configs give distinct trajectories
+    assert not np.allclose(tl[0], tl[2])
+    # bundles carry a leading config axis
+    assert res.bundle.spec_mean.shape == (3, 48) or \
+        res.bundle.spec_mean.shape == (48,)
+    leaf = jax.tree.leaves(res.bundle.params)[0]
+    assert leaf.shape[0] == 3
+
+
+def test_random_search_deterministic():
+    space = {"lr": ("loguniform", 1e-4, 1e-2),
+             "latent_dim": ("int", 4, 16),
+             "batch_size": ("categorical", [32, 64])}
+    objective = lambda cfg: -abs(np.log10(cfg["lr"]) + 3)  # best near 1e-3
+    b1, v1, h1 = random_search(objective, space, 20, seed=7)
+    b2, v2, h2 = random_search(objective, space, 20, seed=7)
+    assert b1 == b2 and v1 == v2
+    assert len(h1) == 20
+    assert v1 == max(r["value"] for r in h1)
+    assert 4 <= b1["latent_dim"] <= 16
+    assert b1["batch_size"] in (32, 64)
+
+
+def test_sample_config_bounds():
+    rng = np.random.default_rng(3)
+    space = {"a": ("int", 1, 3), "b": ("uniform", 0.0, 1.0),
+             "c": ("loguniform", 1e-4, 1e-2),
+             "d": ("categorical", ["x", "y"])}
+    for _ in range(50):
+        c = sample_config(space, rng)
+        assert 1 <= c["a"] <= 3
+        assert 0 <= c["b"] <= 1
+        assert 1e-4 <= c["c"] <= 1e-2
+        assert c["d"] in ("x", "y")
+    with pytest.raises(ValueError):
+        sample_config({"z": ("nope", 1)}, rng)
+
+
+def test_report_plots_smoke(tmp_path):
+    mpl = pytest.importorskip("matplotlib")
+    del mpl
+    from ocm_tpu.utils.report import (plot_confusion, plot_cv, plot_losses,
+                                      plot_t2q)
+
+    rng = np.random.default_rng(0)
+    p1 = plot_t2q(rng.uniform(0, 2, 50), rng.uniform(0, 2, 50),
+                  labels=rng.integers(0, 2, 50),
+                  save_path=str(tmp_path / "t2q.png"))
+    assert os.path.getsize(p1) > 0
+    res = {"results": [{"params": {}, "LV": lv, "eff": 90 + lv,
+                        "spec": 90.0, "sens": 90.0} for lv in range(2, 6)],
+           "best_params": {}, "best_LV": 5, "best_score": 95.0}
+    p2 = plot_cv(res, save_path=str(tmp_path / "cv.png"))
+    assert os.path.getsize(p2) > 0
+    p3 = plot_confusion(np.array([[10, 2, 1], [3, 20, 15]]), [0, 1, 2],
+                        save_path=str(tmp_path / "conf.png"))
+    assert os.path.getsize(p3) > 0
+    p4 = plot_losses([3, 2, 1], [3.1, 2.2, 1.5], best_epoch=2,
+                     save_path=str(tmp_path / "loss.png"))
+    assert os.path.getsize(p4) > 0
+    with pytest.raises(ValueError):
+        plot_cv(res, params={"nope": 1})
