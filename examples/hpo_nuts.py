@@ -1,0 +1,88 @@
+"""Hyperparameter search for the nut VAE (reference optim_bce_nuts.py):
+objective = test accuracy of the f-distance decision, ROC-AUC recorded per
+trial.  Uses Optuna TPE when installed (optim_bce_nuts.py:286-292),
+otherwise the built-in seeded random search.
+
+    python examples/hpo_nuts.py [--n-trials 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+
+def main(n_trials=10, target="peanut", epochs=25, seed=42,
+         out_dir="out/hpo_nuts"):
+    import jax.numpy as jnp
+
+    from ocm_tpu.models import vae_decision as D
+    from ocm_tpu.models.trainer import TrainConfig, train_vae
+    from ocm_tpu.models.vae import ConvVAE1D
+    from ocm_tpu.stats.metrics import roc_auc, vae_binary_metrics
+    from ocm_tpu.utils.io import save_json
+    from ocm_tpu.utils.splits import object_aware_splits
+    from ocm_tpu.utils.sweep import random_search, run_optuna_study
+
+    import _synthetic
+
+    data = _synthetic.nut_objects()
+    nut_types = list(data)
+    length = data[target][0].shape[1]
+    res = object_aware_splits(data, nut_types, target, length, verbose=False)
+    y_bin = res.y_test
+
+    space = {
+        # the reference's search space (optim_bce_nuts.py:118-126)
+        "latent_dim": ("int", 4, 32),
+        "lr": ("loguniform", 1e-4, 1e-2),
+        "beta": ("loguniform", 1e-3, 4.0),
+        "batch_size": ("categorical", [64, 128]),
+    }
+    trial_auc = []
+
+    def objective(cfg):
+        model = ConvVAE1D(input_length=length,
+                          latent_dim=int(cfg["latent_dim"]), conv_blocks=3,
+                          n_filters=16, hidden_fc=64)
+        tc = TrainConfig(epochs=epochs, batch_size=int(cfg["batch_size"]),
+                         lr=float(cfg["lr"]), beta=float(cfg["beta"]),
+                         loss_type="bce")
+        r = train_vae(model, res.x_cal, res.x_val, tc, jax.random.key(seed))
+        b = D.fit_thresholds(model, r.bundle, res.x_cal, loss_type="bce")
+        dec = D.decide_f(model, b, jnp.asarray(res.x_test))
+        pred = np.where(np.asarray(dec.accept), 0, 1)
+        m = vae_binary_metrics(jnp.asarray(pred), jnp.asarray(y_bin), 2)
+        auc = float(roc_auc(jnp.asarray(y_bin), jnp.asarray(dec.q + dec.d2)))
+        trial_auc.append(auc)   # user-attr equivalent (optim_bce_nuts.py:241)
+        return float(m.accuracy)
+
+    try:
+        study = run_optuna_study(objective, space, n_trials=n_trials,
+                                 seed=seed)
+        best_cfg, best_val = study.best_params, study.best_value
+        history = [{"trial": t.number, "value": t.value,
+                    "config": t.params} for t in study.trials]
+    except ImportError:
+        best_cfg, best_val, history = random_search(objective, space,
+                                                    n_trials, seed=seed)
+
+    os.makedirs(out_dir, exist_ok=True)
+    save_json({"best_config": best_cfg, "best_accuracy": best_val,
+               "history": history, "roc_auc_per_trial": trial_auc},
+              out_dir, "hpo.json")
+    print("best accuracy:", best_val, "with", best_cfg)
+    return best_cfg, best_val
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n-trials", type=int, default=10)
+    p.add_argument("--target", default="peanut")
+    p.add_argument("--epochs", type=int, default=25)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out-dir", default="out/hpo_nuts")
+    main(**vars(p.parse_args()))

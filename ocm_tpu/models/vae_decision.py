@@ -65,6 +65,23 @@ def reconstruction_errors(model: ConvVAE1D, bundle: OCMBundle, x,
     return jnp.sum(diff * diff, axis=1), mu, x_rec
 
 
+def compute_rec_error(x, x_rec, mode: str = "euclidean"):
+    """Per-sample reconstruction error (utils/new_vae_simca_Q.py:192-217):
+    'euclidean' = squared L2; 'cosine' = chord distance sqrt(2(1-cos))."""
+    x = jnp.asarray(x)
+    x_rec = jnp.asarray(x_rec)
+    if mode == "euclidean":
+        return jnp.sum((x - x_rec) ** 2, axis=1)
+    if mode == "cosine":
+        xn = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True),
+                             1e-12)
+        rn = x_rec / jnp.maximum(
+            jnp.linalg.norm(x_rec, axis=1, keepdims=True), 1e-12)
+        return jnp.sqrt(2.0 * (1.0 - jnp.sum(xn * rn, axis=1)))
+    raise ValueError(
+        f"unknown mode {mode!r}, choose 'euclidean' or 'cosine'")
+
+
 def fit_thresholds(model: ConvVAE1D, bundle: OCMBundle, x_cal,
                    loss_type: str = "cosine", percentile: float = 95.0,
                    rng: Optional[jax.Array] = None) -> OCMBundle:

@@ -1,0 +1,177 @@
+"""Pallas TPU kernels for the two hot paths.
+
+1. ``t2_q_scores_pallas`` — fused SIMCA scoring: for a tile of spectra
+   resident in VMEM, one pass computes the centered tile, the score GEMM
+   (MXU), and the T^2 / Q reductions (VPU) without writing ANY (N, L) or
+   (N, k) intermediate back to HBM.  HBM traffic is exactly one read of x
+   plus two (N,) vectors out — the speed-of-light minimum for this op.
+   Matches ocm_tpu.ops.linalg.t2_q_scores (the XLA path) to float tolerance.
+
+2. ``reparam_loss_pallas`` — fused reparameterization + beta-VAE loss terms:
+   per tile, draws eps with the on-core PRNG, forms z = mu + eps*exp(.5 lv),
+   and accumulates the KL and euclidean reconstruction partial sums in one
+   VMEM pass (vae_model.py:108-109 + the loss reductions).  Used for
+   inference-style scoring sweeps; training keeps the XLA path (autodiff
+   through pallas_call needs a custom VJP that XLA's own fusion already
+   matches for this elementwise pattern).
+
+Both kernels run in interpret mode on CPU (tests/test_kernels.py) and
+compiled on TPU.  The public wrappers take ``interpret=`` so the same code
+path is testable everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def t2_q_scores_pallas(x, mean, components, invcov, tile_n: int = 512,
+                       interpret: bool = False):
+    """Fused T^2/Q scoring of ``x`` (N, L) against one SIMCA model.
+
+    ``components`` is (k, L) orthonormal loadings, ``invcov`` (k, k).
+    Returns (t2, q) of shape (N,).  Rows are tiled over a 1-D grid; L and k
+    are padded to lane multiples once on the host side of the call.
+    """
+    x = jnp.asarray(x)
+    n, length = x.shape
+    k = components.shape[0]
+    dtype = x.dtype
+
+    # pad L and k to lane width, N to the tile size
+    lp = _round_up(length, 128)
+    kp = _round_up(k, 128)
+    np_ = _round_up(n, tile_n)
+    x_p = jnp.zeros((np_, lp), dtype).at[:n, :length].set(x)
+    mean_p = jnp.zeros((1, lp), dtype).at[0, :length].set(mean)
+    # padded loading rows are zero => contribute nothing to t or q
+    pt_p = jnp.zeros((lp, kp), dtype).at[:length, :k].set(components.T)
+    inv_p = jnp.zeros((kp, kp), dtype).at[:k, :k].set(invcov)
+
+    def kernel(x_ref, mean_ref, pt_ref, inv_ref, t2_ref, q_ref):
+        xc = x_ref[:] - mean_ref[0, :][None, :]
+        t = jnp.dot(xc, pt_ref[:], preferred_element_type=dtype)
+        ti = jnp.dot(t, inv_ref[:], preferred_element_type=dtype)
+        t2_ref[:] = jnp.sum(ti * t, axis=1, keepdims=True)
+        q = jnp.sum(xc * xc, axis=1, keepdims=True) - jnp.sum(
+            t * t, axis=1, keepdims=True)
+        q_ref[:] = jnp.maximum(q, 0.0)
+
+    grid = (np_ // tile_n,)
+    t2, q = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, lp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lp, kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, 1), dtype),
+            jax.ShapeDtypeStruct((np_, 1), dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * lp * kp + 2 * np_ * kp * kp + 4 * np_ * lp,
+            bytes_accessed=np_ * lp * x.dtype.itemsize + 2 * np_ * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x_p, mean_p, pt_p, inv_p)
+    return t2[:n, 0], q[:n, 0]
+
+
+def reparam_loss_pallas(mu, logvar, eps=None, seed: int = 0,
+                        tile_n: int = 256, interpret: bool = False):
+    """Fused reparameterize + KL partials (vae_model.py:108-109,143).
+
+    Returns (z, kl_per_sample): z = mu + eps * exp(0.5*logvar);
+    kl_per_sample_i = -0.5 * sum_j (1 + lv - mu^2 - e^lv).
+
+    ``eps=None`` draws standard-normal noise with the on-core TPU PRNG
+    (Box-Muller over ``prng_random_bits``) — compiled-TPU only, since the
+    interpreter models random bits as a constant fill.  Pass explicit
+    ``eps`` (N, k) for a deterministic, everywhere-testable path.
+    """
+    mu = jnp.asarray(mu)
+    logvar = jnp.asarray(logvar)
+    n, k = mu.shape
+    dtype = mu.dtype
+    kp = _round_up(k, 128)
+    np_ = _round_up(n, tile_n)
+    mu_p = jnp.zeros((np_, kp), dtype).at[:n, :k].set(mu)
+    # zero-padded (mu, logvar) columns add exactly 0 to the KL sum:
+    # 1 + 0 - 0 - e^0 = 0
+    lv_p = jnp.zeros((np_, kp), dtype).at[:n, :k].set(logvar)
+    seeds = jnp.arange(np_ // tile_n, dtype=jnp.int32) + jnp.int32(seed)
+
+    def body(m, lv, eps_tile, z_ref, kl_ref):
+        z_ref[:] = m + eps_tile * jnp.exp(0.5 * lv)
+        kl_ref[:] = -0.5 * jnp.sum(1.0 + lv - m * m - jnp.exp(lv), axis=1,
+                                   keepdims=True)
+
+    tile_spec = lambda last: pl.BlockSpec((tile_n, last),
+                                          lambda i, *_: (i, 0),
+                                          memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((np_, kp), dtype),
+                 jax.ShapeDtypeStruct((np_, 1), dtype)]
+    out_specs = [tile_spec(kp), tile_spec(1)]
+
+    if eps is not None:
+        eps_p = jnp.zeros((np_, kp), dtype).at[:n, :k].set(
+            jnp.asarray(eps, dtype))
+
+        def kernel_eps(mu_ref, lv_ref, eps_ref, z_ref, kl_ref):
+            body(mu_ref[:], lv_ref[:], eps_ref[:], z_ref, kl_ref)
+
+        z, kl = pl.pallas_call(
+            kernel_eps, grid=(np_ // tile_n,),
+            in_specs=[tile_spec(kp)] * 3, out_specs=out_specs,
+            out_shape=out_shape, interpret=interpret,
+        )(mu_p, lv_p, eps_p)
+        return z[:n, :k], kl[:n, 0]
+
+    def kernel_prng(seed_ref, mu_ref, lv_ref, z_ref, kl_ref):
+        pltpu.prng_seed(seed_ref[pl.program_id(0)])
+        bits1 = pltpu.bitcast(pltpu.prng_random_bits(mu_ref.shape),
+                              jnp.uint32)
+        bits2 = pltpu.bitcast(pltpu.prng_random_bits(mu_ref.shape),
+                              jnp.uint32)
+        # random bits -> standard normal via Box-Muller on two uniform
+        # halves; shift to 24 bits first so the int32 reinterpretation is
+        # non-negative (Mosaic has no uint32 -> f32 cast)
+        i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
+        i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+        u1 = i1.astype(dtype) * (1.0 / (1 << 24)) + 1e-7
+        u2 = i2.astype(dtype) * (1.0 / (1 << 24))
+        eps_tile = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+            2.0 * np.pi * u2)
+        body(mu_ref[:], lv_ref[:], eps_tile, z_ref, kl_ref)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(np_ // tile_n,),
+        in_specs=[tile_spec(kp), tile_spec(kp)], out_specs=out_specs)
+    z, kl = pl.pallas_call(
+        kernel_prng, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seeds, mu_p, lv_p)
+    return z[:n, :k], kl[:n, 0]

@@ -1,3 +1,3 @@
-from ocm_tpu.utils import io, outliers, report, splits, sweep
+from ocm_tpu.utils import io, outliers, profiling, report, splits, sweep
 
-__all__ = ["io", "outliers", "report", "splits", "sweep"]
+__all__ = ["io", "outliers", "profiling", "report", "splits", "sweep"]
