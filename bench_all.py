@@ -1,0 +1,278 @@
+"""Full benchmark suite: the five BASELINE.json configs.
+
+Prints one JSON line per benchmark (the driver-facing headline metric stays
+in bench.py).  CPU reference timings run the reference's own algorithms
+(sklearn PCA fits / torch training loops) at identical workloads.
+
+  1. simca_fit_score   — classical SIMCA on nut-scale spectra (bench.py)
+  2. cvsimca           — cross-validated component selection, batched
+                         (fold x LV) device solve vs the reference's
+                         sklearn host loop
+  3. vae_train         — BCE VAE training steps/sec, on-device lax.scan
+                         loop vs an equivalent torch CPU loop
+  4. vae_simca         — VAE-SIMCA joint fit-thresholds + decision
+                         throughput (no reference timing exists; absolute)
+  5. batched_sweep     — vmapped multi-config VAE training vs sequential
+                         single-config estimate
+
+Usage: python bench_all.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _emit(metric, value, unit, vs_baseline=None):
+    payload = {"metric": metric, "value": round(float(value), 2),
+               "unit": unit}
+    if vs_baseline is not None:
+        payload["vs_baseline"] = round(float(vs_baseline), 2)
+    print(json.dumps(payload), flush=True)
+    return payload
+
+
+def bench_simca(quick=False):
+    import bench as headline
+
+    cals, xs = headline.make_data(n_score=32768 if quick else 98304)
+    n_work = xs.shape[0] * len(cals)
+    tpu_t = headline.bench_tpu(cals, xs, repeats=3 if quick else 5)
+    cpu_t = headline.bench_cpu_reference(cals, xs)
+    return _emit("simca_fit_score_throughput", n_work / tpu_t,
+                 "class-scores/s", (n_work / tpu_t) / (n_work / cpu_t))
+
+
+def bench_cvsimca(quick=False):
+    import jax
+
+    from ocm_tpu.models.cv import cv_simca_sweep
+
+    rng = np.random.default_rng(1)
+    t = np.linspace(0, 1, 500)
+    n0, n1 = (300, 150) if quick else (600, 300)
+    x0 = rng.normal(1, .08, (n0, 1)) * np.sin(2 * np.pi * 3 * t) + \
+        rng.normal(0, .02, (n0, 500))
+    x1 = rng.normal(1, .08, (n1, 1)) * np.sin(2 * np.pi * 4 * t) + \
+        rng.normal(0, .02, (n1, 500))
+    x = np.concatenate([x0, x1]).astype(np.float32)
+    y = np.concatenate([np.zeros(n0), np.ones(n1)])
+    lvs = list(range(2, 7 if quick else 13))
+    n_splits = 5
+    n_fits = len(lvs) * n_splits
+
+    def run():
+        return cv_simca_sweep(x, y, 0, lvs, n_splits=n_splits)
+
+    run()  # compile
+    t0 = time.perf_counter()
+    run()
+    tpu_t = time.perf_counter() - t0
+
+    # reference algorithm: sklearn PCA refit per (fold, LV)
+    from sklearn.decomposition import PCA
+
+    cls_idx = np.flatnonzero(y == 0)
+    folds = np.array_split(np.arange(len(cls_idx)), n_splits)
+    t0 = time.perf_counter()
+    for lv in lvs:
+        for f in folds:
+            tr = np.delete(cls_idx, f)
+            x_tr = x[tr].astype(np.float64)
+            pca_full = PCA(svd_solver="full").fit(x_tr)
+            pca_k = PCA(n_components=lv, svd_solver="full").fit(x_tr)
+            t_new = pca_k.transform(x)
+            x_rec = pca_k.inverse_transform(t_new)
+            q = np.sum((x - x_rec) ** 2, axis=1)
+            del pca_full, q
+    cpu_t = time.perf_counter() - t0
+    return _emit("cvsimca_fits_per_s", n_fits / tpu_t, "fold-LV fits/s",
+                 (n_fits / tpu_t) / (n_fits / cpu_t))
+
+
+def _torch_vae_steps_per_s(length, batch, steps):
+    """Reference-equivalent torch CPU training throughput (the reference's
+    substrate; architecture built from the same hyperparameters)."""
+    import torch
+
+    k, pad = 9, 4
+    enc = torch.nn.Sequential(
+        torch.nn.Conv1d(1, 32, k, 1, pad), torch.nn.BatchNorm1d(32),
+        torch.nn.ELU(),
+        torch.nn.Conv1d(32, 64, k, 2, pad), torch.nn.BatchNorm1d(64),
+        torch.nn.ELU(),
+        torch.nn.Conv1d(64, 128, k, 2, pad), torch.nn.BatchNorm1d(128),
+        torch.nn.ELU())
+    out_len = length
+    for s in (1, 2, 2):
+        out_len = (out_len + 2 * pad - (k - 1) - 1) // s + 1
+    fc_in = 128 * out_len
+    fc = torch.nn.Linear(fc_in, 256)
+    fc_mu = torch.nn.Linear(256, 16)
+    fc_lv = torch.nn.Linear(256, 16)
+    fc_dec = torch.nn.Sequential(torch.nn.Linear(16, 256), torch.nn.ELU(),
+                                 torch.nn.Linear(256, fc_in), torch.nn.ELU())
+    dec = torch.nn.Sequential(
+        torch.nn.ConvTranspose1d(128, 64, k, 2, pad, 1),
+        torch.nn.BatchNorm1d(64), torch.nn.ELU(),
+        torch.nn.ConvTranspose1d(64, 32, k, 2, pad, 1),
+        torch.nn.BatchNorm1d(32), torch.nn.ELU(),
+        torch.nn.ConvTranspose1d(32, 32, k, 1, pad, 0),
+        torch.nn.BatchNorm1d(32), torch.nn.ELU(),
+        torch.nn.Conv1d(32, 1, 1))
+    params = []
+    for m in (enc, fc, fc_mu, fc_lv, fc_dec, dec):
+        params += list(m.parameters())
+    opt = torch.optim.Adam(params, lr=1e-3)
+    x = torch.randn(batch, length)
+
+    def step():
+        opt.zero_grad()
+        h = enc(x.unsqueeze(1)).flatten(1)
+        h = torch.nn.functional.elu(fc(h))
+        mu, lv = fc_mu(h), fc_lv(h)
+        z = mu + torch.randn_like(mu) * torch.exp(0.5 * lv)
+        h = fc_dec(z).view(batch, 128, out_len)
+        xr = dec(h).squeeze(1)[..., :length]
+        x_min = x.min(dim=1, keepdim=True)[0]
+        x_max = x.max(dim=1, keepdim=True)[0]
+        tgt = ((x - x_min) / (x_max - x_min + 1e-8)).clamp(0, 1)
+        recon = torch.nn.functional.binary_cross_entropy_with_logits(xr, tgt)
+        kl = -0.5 * torch.mean(
+            torch.sum(1 + lv - mu.pow(2) - lv.exp(), dim=1))
+        (recon + kl).backward()
+        opt.step()
+
+    step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    return steps / (time.perf_counter() - t0)
+
+
+def bench_vae_train(quick=False):
+    import jax
+
+    from ocm_tpu.models.trainer import TrainConfig, train_vae
+    from ocm_tpu.models.vae import ConvVAE1D
+
+    rng = np.random.default_rng(2)
+    length, batch = 501, 64
+    n = 640
+    t = np.linspace(0, 1, length)
+    x = (rng.normal(1, .08, (n, 1)) * np.sin(2 * np.pi * 3 * t)
+         + rng.normal(0, .02, (n, length))).astype(np.float32)
+    model = ConvVAE1D(input_length=length, latent_dim=16, conv_blocks=3,
+                      n_filters=32, hidden_fc=256)
+    epochs = 5 if quick else 20
+    steps_per_epoch = n // batch
+    cfg = TrainConfig(epochs=epochs, batch_size=batch, lr=1e-3,
+                      loss_type="bce")
+    train_vae(model, x, x[:64], cfg, jax.random.key(0))  # compile
+    t0 = time.perf_counter()
+    r = train_vae(model, x, x[:64], cfg, jax.random.key(0))
+    jax.block_until_ready(r.final_params)
+    tpu_steps = epochs * steps_per_epoch / (time.perf_counter() - t0)
+
+    torch_steps = _torch_vae_steps_per_s(length, batch,
+                                         20 if quick else 50)
+    return _emit("vae_train_steps_per_s", tpu_steps, "steps/s",
+                 tpu_steps / torch_steps)
+
+
+def bench_vae_simca(quick=False):
+    import jax
+    import jax.numpy as jnp
+
+    from ocm_tpu.models import vae_decision as D
+    from ocm_tpu.models.trainer import TrainConfig, train_vae
+    from ocm_tpu.models.vae import ConvVAE1D
+    from ocm_tpu.models.vaesimca import fit_vaesimca, predict_vaesimca
+
+    rng = np.random.default_rng(3)
+    length = 501
+    t = np.linspace(0, 1, length)
+    x_cal = (rng.normal(1, .08, (512, 1)) * np.sin(2 * np.pi * 3 * t)
+             + rng.normal(0, .02, (512, length))).astype(np.float32)
+    n_test = 16384 if quick else 65536
+    x_test = (rng.normal(1, .2, (n_test, 1)) * np.sin(2 * np.pi * 3 * t)
+              + rng.normal(0, .05, (n_test, length))).astype(np.float32)
+
+    model = ConvVAE1D(input_length=length, latent_dim=16, conv_blocks=3,
+                      n_filters=32, hidden_fc=256)
+    r = train_vae(model, x_cal, x_cal[:64],
+                  TrainConfig(epochs=3, batch_size=64, loss_type="cosine"),
+                  jax.random.key(0))
+    vs = fit_vaesimca(model, r.bundle, x_cal)
+    x_test_j = jnp.asarray(x_test)
+
+    fn = jax.jit(lambda xt: predict_vaesimca(model, r.bundle, vs, xt))
+    jax.block_until_ready(fn(x_test_j))
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(x_test_j))
+    dt = time.perf_counter() - t0
+    return _emit("vaesimca_predict_throughput", n_test / dt, "spectra/s")
+
+
+def bench_batched_sweep(quick=False):
+    import jax
+
+    from ocm_tpu.models.vae import ConvVAE1D
+    from ocm_tpu.utils.sweep import train_vae_vmapped
+
+    rng = np.random.default_rng(4)
+    length, n_cfg = 501, 8
+    t = np.linspace(0, 1, length)
+    x = (rng.normal(1, .08, (320, 1)) * np.sin(2 * np.pi * 3 * t)
+         + rng.normal(0, .02, (320, length))).astype(np.float32)
+    model = ConvVAE1D(input_length=length, latent_dim=16, conv_blocks=3,
+                      n_filters=32, hidden_fc=256)
+    epochs = 3 if quick else 10
+    lrs = np.logspace(-4, -2, n_cfg)
+
+    def run(k):
+        return train_vae_vmapped(model, x[:256], x[256:],
+                                 lrs=lrs[:k], weight_decays=[0.0] * k,
+                                 betas=[1.0] * k, epochs=epochs,
+                                 batch_size=64, loss_type="cosine",
+                                 rng=jax.random.key(0))
+
+    jax.block_until_ready(run(n_cfg).train_losses)  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(n_cfg).train_losses)
+    t_batch = time.perf_counter() - t0
+
+    jax.block_until_ready(run(1).train_losses)      # compile 1-config
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(1).train_losses)
+    t_one = time.perf_counter() - t0
+    # vs_baseline: speedup of the vmapped batch over sequential execution
+    return _emit("batched_sweep_configs_per_s", n_cfg / t_batch,
+                 "configs/s", (n_cfg / t_batch) / (1.0 / t_one))
+
+
+BENCHES = {
+    "simca": bench_simca,
+    "cvsimca": bench_cvsimca,
+    "vae_train": bench_vae_train,
+    "vae_simca": bench_vae_simca,
+    "batched_sweep": bench_batched_sweep,
+}
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--only", default=None, choices=list(BENCHES))
+    args = p.parse_args()
+    names = [args.only] if args.only else list(BENCHES)
+    for name in names:
+        BENCHES[name](quick=args.quick)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,7 @@ CV protocol parity (utils/CVSIMCA.py):
 
 from __future__ import annotations
 
+import functools
 import itertools
 from typing import Optional, Sequence
 
@@ -209,14 +210,24 @@ def cv_simca_sweep(x, y, cls_label, lv_values: Sequence[int],
     y_np = np.asarray(y)
     train_np, held_np = fold_masks(y_np, cls_label, n_splits, shuffle,
                                    random_state)
-    train_m = jnp.asarray(train_np)
-    held_m = jnp.asarray(held_np)
-    other_m = jnp.asarray(y_np != cls_label)
-    lvs = jnp.asarray(list(lv_values), dtype=jnp.int32)
-
     if decision_type == "dd":
         t2_method = "chi2pom"
         q_method = "chi2pom"
+    out = _cv_sweep_jit(x, jnp.asarray(train_np), jnp.asarray(held_np),
+                        jnp.asarray(y_np != cls_label),
+                        jnp.asarray(list(lv_values), dtype=jnp.int32),
+                        decision_type=decision_type, t2_method=t2_method,
+                        q_method=q_method, t2_cl=t2_cl, q_cl=q_cl,
+                        d_cl=d_cl)
+    return jax.tree.map(np.asarray, out)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "decision_type", "t2_method", "q_method", "t2_cl", "q_cl", "d_cl"))
+def _cv_sweep_jit(x, train_m, held_m, other_m, lvs, *, decision_type,
+                  t2_method, q_method, t2_cl, q_cl, d_cl):
+    """Cached compiled (fold x LV) solve — module-level jit so repeated
+    sweeps (grid combos, benchmarks) reuse the compilation."""
 
     def per_fold(w_train_b, held_b):
         w = w_train_b.astype(x.dtype)
@@ -234,25 +245,21 @@ def cv_simca_sweep(x, y, cls_label, lv_values: Sequence[int],
 
         return jax.vmap(per_lv)(lvs)     # (L, ...) per fold
 
-    @jax.jit
-    def run():
-        accept, sens, spec = jax.vmap(per_fold)(train_m, held_m)
-        # accept: (F, L, N); spec/sens: (F, L)
-        spec_mean = jnp.mean(spec, axis=0)
-        # pooled predictions: target samples from their own held fold;
-        # other-class samples from the last fold (reference overwrite)
-        own = jnp.einsum("fln,fn->ln", accept.astype(x.dtype),
-                         held_m.astype(x.dtype))
-        pooled = jnp.where(other_m[None, :], accept[-1], own > 0)
-        in_class = ~other_m
-        tp = jnp.sum(pooled & in_class[None, :], axis=1)
-        fn = jnp.sum((~pooled) & in_class[None, :], axis=1)
-        sens_pooled = tp / (tp + fn) * 100.0
-        eff = jnp.sqrt(sens_pooled * spec_mean)
-        return {"pred": pooled, "sens": sens_pooled, "spec": spec_mean,
-                "eff": eff, "fold_sens": sens, "fold_spec": spec}
-
-    return jax.tree.map(np.asarray, run())
+    accept, sens, spec = jax.vmap(per_fold)(train_m, held_m)
+    # accept: (F, L, N); spec/sens: (F, L)
+    spec_mean = jnp.mean(spec, axis=0)
+    # pooled predictions: target samples from their own held fold;
+    # other-class samples from the last fold (reference overwrite)
+    own = jnp.einsum("fln,fn->ln", accept.astype(x.dtype),
+                     held_m.astype(x.dtype))
+    pooled = jnp.where(other_m[None, :], accept[-1], own > 0)
+    in_class = ~other_m
+    tp = jnp.sum(pooled & in_class[None, :], axis=1)
+    fn = jnp.sum((~pooled) & in_class[None, :], axis=1)
+    sens_pooled = tp / (tp + fn) * 100.0
+    eff = jnp.sqrt(sens_pooled * spec_mean)
+    return {"pred": pooled, "sens": sens_pooled, "spec": spec_mean,
+            "eff": eff, "fold_sens": sens, "fold_spec": spec}
 
 
 # ---------------------------------------------------------------------------

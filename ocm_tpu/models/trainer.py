@@ -24,6 +24,7 @@ cannot match torch bit-wise anyway since RNG streams differ).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -128,8 +129,17 @@ def make_eval_loss(model: ConvVAE1D, cfg: TrainConfig):
 
 def train_vae(model: ConvVAE1D, x_cal, x_val, cfg: TrainConfig,
               rng: jax.Array, spec_stats: Optional[tuple] = None,
-              donate: bool = False) -> TrainResult:
+              init_state: Optional[tuple] = None,
+              epoch_offset: int = 0) -> TrainResult:
     """Train one VAE fully on device and return the best-val-epoch bundle.
+
+    Mid-training resume (beyond the reference, which only reloads best
+    weights for evaluation — SURVEY.md section 5.4): pass
+    ``init_state=(final_params, final_batch_stats, final_opt_state)`` from a
+    previous ``TrainResult`` plus ``epoch_offset`` = epochs already run, and
+    optimization continues exactly where it stopped (Adam moments included;
+    the per-epoch RNG folds in the global epoch index so the shuffle stream
+    continues too).
 
     ``x_cal``/``x_val`` are RAW spectra; standardization stats are computed
     on the calibration set (utils/final_vaesimca.py:261-262) unless passed.
@@ -152,18 +162,43 @@ def train_vae(model: ConvVAE1D, x_cal, x_val, cfg: TrainConfig,
     xv_std = (x_val - mean) / std
 
     init_rng, train_rng = jax.random.split(rng)
-    params, batch_stats = init_vae(model, init_rng)
     tx = torch_adam(cfg.lr, cfg.weight_decay)
-    opt_state = tx.init(params)
+    if init_state is None:
+        params, batch_stats = init_vae(model, init_rng)
+        opt_state = tx.init(params)
+    else:
+        params, batch_stats, opt_state = init_state
 
+    batch_size = min(cfg.batch_size, x_cal.shape[0])
+    (f_params, f_bs, f_opt, best_params, best_bs, best_epoch,
+     train_losses, val_losses) = _train_loop(
+        model, cfg, batch_size, epoch_offset, xc_std, xv_std, params,
+        batch_stats, opt_state, train_rng)
+
+    bundle = new_bundle(best_params, best_bs, mean, std, model.latent_dim)
+    return TrainResult(bundle, train_losses, val_losses,
+                       best_epoch + epoch_offset, f_params, f_bs, f_opt)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "cfg", "batch_size", "epoch_offset"))
+def _train_loop(model: ConvVAE1D, cfg: TrainConfig, batch_size: int,
+                epoch_offset: int, xc_std, xv_std, params, batch_stats,
+                opt_state, train_rng):
+    """The whole multi-epoch loop as ONE cached compiled program.
+
+    Module-level jit keyed on (model, cfg, batch_size, epoch_offset) and the
+    array shapes — repeated calls (sweeps, resumes, benchmarks) hit the
+    compile cache instead of re-tracing a per-call closure.
+    """
+    tx = torch_adam(cfg.lr, cfg.weight_decay)
     step_fn = make_train_step(model, tx, cfg)
     eval_fn = make_eval_loss(model, cfg)
-    n = x_cal.shape[0]
-    batch_size = min(cfg.batch_size, n)
+    n = xc_std.shape[0]
 
     def epoch_body(carry, epoch):
         params, batch_stats, opt_state, best = carry
-        ep_rng = jax.random.fold_in(train_rng, epoch)
+        ep_rng = jax.random.fold_in(train_rng, epoch + epoch_offset)
         idx = _batch_indices(jax.random.fold_in(ep_rng, 0), n, batch_size)
 
         def step_body(inner, si):
@@ -190,23 +225,12 @@ def train_vae(model: ConvVAE1D, x_cal, x_val, cfg: TrainConfig,
                 take(batch_stats, best_bs), best_epoch)
         return (params, batch_stats, opt_state, best), (train_loss, val_loss)
 
-    init_best = (jnp.asarray(jnp.inf, xc_std.dtype), params, batch_stats,
-                 jnp.asarray(0))
-
-    @jax.jit
-    def run(params, batch_stats, opt_state):
-        carry = (params, batch_stats, opt_state,
-                 (init_best[0], params, batch_stats, init_best[3]))
-        carry, (train_losses, val_losses) = jax.lax.scan(
-            epoch_body, carry, jnp.arange(cfg.epochs))
-        params, batch_stats, opt_state, best = carry
-        _, best_params, best_bs, best_epoch = best
-        return (params, batch_stats, opt_state, best_params, best_bs,
-                best_epoch, train_losses, val_losses)
-
-    (f_params, f_bs, f_opt, best_params, best_bs, best_epoch,
-     train_losses, val_losses) = run(params, batch_stats, opt_state)
-
-    bundle = new_bundle(best_params, best_bs, mean, std, model.latent_dim)
-    return TrainResult(bundle, train_losses, val_losses, best_epoch,
-                       f_params, f_bs, f_opt)
+    carry = (params, batch_stats, opt_state,
+             (jnp.asarray(jnp.inf, xc_std.dtype), params, batch_stats,
+              jnp.asarray(0)))
+    carry, (train_losses, val_losses) = jax.lax.scan(
+        epoch_body, carry, jnp.arange(cfg.epochs))
+    params, batch_stats, opt_state, best = carry
+    _, best_params, best_bs, best_epoch = best
+    return (params, batch_stats, opt_state, best_params, best_bs,
+            best_epoch, train_losses, val_losses)
