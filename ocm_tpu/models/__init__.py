@@ -1,5 +1,5 @@
-from ocm_tpu.models import (bundle, cv, plsda, simca, trainer, vae,
-                            vae_decision, vaesimca)
+from ocm_tpu.models import (bundle, cv, plsda, simca, torch_import, trainer,
+                            vae, vae_decision, vaesimca)
 
-__all__ = ["bundle", "cv", "plsda", "simca", "trainer", "vae",
-           "vae_decision", "vaesimca"]
+__all__ = ["bundle", "cv", "plsda", "simca", "torch_import", "trainer",
+           "vae", "vae_decision", "vaesimca"]
