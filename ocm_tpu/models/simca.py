@@ -80,10 +80,19 @@ def fit_simca(x_cls, n_components: int, decision_type: str = "alt",
     )
 
 
-def simca_scores(model: SIMCAModel, x):
-    """T2 and Q for new samples (utils/SIMCA.py:127-130), one GEMM."""
-    t2, q, _ = t2_q_scores(x.astype(model.mean.dtype), model.mean,
-                           model.components, model.invcovT)
+def simca_scores(model: SIMCAModel, x, use_pallas: bool = False):
+    """T2 and Q for new samples (utils/SIMCA.py:127-130), one GEMM.
+
+    ``use_pallas=True`` routes through the fused VMEM-resident kernel
+    (ocm_tpu.ops.kernels.t2_q_scores_pallas) — same math, zero HBM
+    intermediates; prefer it for very large scoring batches on TPU.
+    """
+    x = x.astype(model.mean.dtype)
+    if use_pallas:
+        from ocm_tpu.ops.kernels import t2_q_scores_pallas
+        return t2_q_scores_pallas(x, model.mean, model.components,
+                                  model.invcovT)
+    t2, q, _ = t2_q_scores(x, model.mean, model.components, model.invcovT)
     return t2, q
 
 

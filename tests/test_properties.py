@@ -1,0 +1,111 @@
+"""Property tests (the SURVEY.md §4 plan): statistical invariants that must
+hold for ANY data, complementing the golden-value oracle tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocm_tpu.models.simca import fit_simca, simca_decide
+from ocm_tpu.ops.special import chi2_cdf, chi2_ppf, f_cdf, f_ppf
+from ocm_tpu.stats import limits as L
+
+from oracles import make_class_spectra
+
+
+@pytest.fixture(scope="module")
+def fitted(request):
+    rng = np.random.default_rng(5)
+    x = make_class_spectra(rng, 150, 60)
+    return x
+
+
+@pytest.mark.parametrize("method", ["perc", "Fdistrig", "Fdist", "chi2",
+                                    "chi2pom"])
+def test_t2_limit_monotone_in_confidence(fitted, method):
+    rng = np.random.default_rng(0)
+    t2 = jnp.asarray(rng.chisquare(5, 200))
+    lims = [float(L.t2_limit(t2, 5, method, cl).limit)
+            for cl in (0.80, 0.90, 0.95, 0.99)]
+    assert all(a < b for a, b in zip(lims, lims[1:]))
+
+
+@pytest.mark.parametrize("method", ["perc", "jm", "chi2box", "chi2pom"])
+def test_q_limit_monotone_in_confidence(fitted, method):
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.chisquare(3, 200))
+    eigs = jnp.asarray(np.sort(rng.uniform(0.01, 2.0, 40))[::-1].copy())
+    thetas = L.residual_thetas(eigs, 5)
+    lims = [float(L.q_limit(q, method, cl, thetas=thetas).limit)
+            for cl in (0.80, 0.90, 0.95, 0.99)]
+    assert all(a < b for a, b in zip(lims, lims[1:]))
+
+
+def test_quantiles_invert_cdfs():
+    """ppf and cdf are inverses over a broad dof grid."""
+    for p in (0.05, 0.5, 0.95, 0.999):
+        for dof in (0.7, 2.0, 9.0, 55.0):
+            x = chi2_ppf(p, dof)
+            np.testing.assert_allclose(float(chi2_cdf(x, dof)), p,
+                                       atol=1e-9)
+    for p in (0.05, 0.5, 0.95):
+        for d1, d2 in ((2.0, 7.0), (10.0, 140.0), (1.0, 3.0)):
+            x = f_ppf(p, d1, d2)
+            np.testing.assert_allclose(float(f_cdf(x, d1, d2)), p,
+                                       atol=1e-9)
+
+
+def test_alt_boundary_is_quarter_circle(fitted):
+    """'alt' acceptance region in reduced (T2, Q) coordinates is exactly the
+    quarter disk of radius sqrt(2): points accepted iff
+    (t2red^2 + qred^2) < 2."""
+    model = fit_simca(jnp.asarray(fitted), 5, decision_type="alt")
+    rng = np.random.default_rng(2)
+    x_new = jnp.asarray(make_class_spectra(rng, 300, 60, center_shift=0.2))
+    accept, dred, t2, q = simca_decide(model, x_new, "alt")
+    t2red = np.asarray(t2) / float(model.t2_res.limit)
+    qred = np.asarray(q) / float(model.q_res.limit)
+    inside = t2red**2 + qred**2 < 2.0
+    np.testing.assert_array_equal(np.asarray(accept), inside)
+
+
+def test_training_coverage_tracks_confidence(fitted):
+    """At confidence cl with 'perc' limits, ~cl of the TRAINING data falls
+    inside each marginal limit."""
+    x = jnp.asarray(fitted)
+    for cl in (0.90, 0.95):
+        model = fit_simca(x, 5, t2_method="perc", q_method="perc",
+                          t2_cl=cl, q_cl=cl)
+        frac_t2 = float(jnp.mean(model.t2_train <= model.t2_res.limit))
+        frac_q = float(jnp.mean(model.q_train <= model.q_res.limit))
+        assert abs(frac_t2 - cl) < 0.02
+        assert abs(frac_q - cl) < 0.02
+
+
+def test_decisions_invariant_to_sample_order(fitted):
+    """Scoring is per-sample: permuting the batch permutes the outputs."""
+    model = fit_simca(jnp.asarray(fitted), 5)
+    rng = np.random.default_rng(3)
+    x_new = jnp.asarray(make_class_spectra(rng, 64, 60, center_shift=0.5))
+    perm = rng.permutation(64)
+    acc1, dred1, _, _ = simca_decide(model, x_new, "alt")
+    acc2, dred2, _, _ = simca_decide(model, x_new[perm], "alt")
+    np.testing.assert_array_equal(np.asarray(acc1)[perm], np.asarray(acc2))
+    np.testing.assert_allclose(np.asarray(dred1)[perm], np.asarray(dred2),
+                               rtol=1e-10)
+
+
+def test_fit_scale_equivariance(fitted):
+    """Scaling the spectra scales T2 not at all (Mahalanobis) and Q by the
+    square; decisions with percentile limits are scale-invariant."""
+    x = jnp.asarray(fitted)
+    m1 = fit_simca(x, 5, t2_method="perc", q_method="perc")
+    m2 = fit_simca(3.0 * x, 5, t2_method="perc", q_method="perc")
+    rng = np.random.default_rng(4)
+    x_new = jnp.asarray(make_class_spectra(rng, 50, 60, center_shift=0.4))
+    a1, _, t2_1, q_1 = simca_decide(m1, x_new, "alt")
+    a2, _, t2_2, q_2 = simca_decide(m2, 3.0 * x_new, "alt")
+    np.testing.assert_allclose(np.asarray(t2_2), np.asarray(t2_1),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(q_2), 9.0 * np.asarray(q_1),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
