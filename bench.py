@@ -34,30 +34,39 @@ def make_data(seed=0, n_cal=700, length=500, n_classes=3, n_score=98304):
     return cals, xs
 
 
-def bench_tpu(cals, xs, k=10, repeats=5):
+def bench_tpu(cals, xs, k=10, repeats=5, inner_iters=8):
+    """Steady-state device time per fit+score workload.
+
+    The workload repeats ``inner_iters`` times INSIDE one compiled program
+    (each iteration on index-perturbed data so nothing folds away) —
+    host<->device round-trip latency is paid once and amortized, so the
+    measurement reflects device throughput, not interconnect RTT.
+    """
     import jax
     import jax.numpy as jnp
 
-    from ocm_tpu.models.simca import fit_classes, predict_classes
+    from ocm_tpu.models.simca import fit_simca, simca_decide
 
-    x = jnp.asarray(np.concatenate(cals), jnp.float32)
-    classes = np.repeat(np.arange(len(cals)), cals[0].shape[0])
+    stacked = jnp.asarray(np.stack(cals), jnp.float32)   # (C, n, L)
     xs_d = jnp.asarray(xs, jnp.float32)
+    fit_fn = jax.vmap(lambda xc: fit_simca(xc, k))
 
     def run():
-        models = fit_classes(x, classes, list(range(len(cals))), k)
-        accept, dred, t2, q = predict_classes(models, xs_d)
-        return accept
+        def body(i, acc):
+            models = fit_fn(stacked + 1e-6 * i)
+            _, dred, _, _ = jax.vmap(lambda m: simca_decide(m, xs_d))(models)
+            return acc + jnp.sum(dred)
+
+        return jax.lax.fori_loop(0, inner_iters, body, jnp.float32(0.0))
 
     run_jit = jax.jit(run)
-    run_jit()  # compile
-    jax.block_until_ready(run_jit())
+    jax.block_until_ready(run_jit())  # compile
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         jax.block_until_ready(run_jit())
         times.append(time.perf_counter() - t0)
-    return min(times)
+    return min(times) / inner_iters
 
 
 def bench_cpu_reference(cals, xs, k=10):

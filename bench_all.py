@@ -65,13 +65,23 @@ def bench_cvsimca(quick=False):
     n_splits = 5
     n_fits = len(lvs) * n_splits
 
-    def run():
-        return cv_simca_sweep(x, y, 0, lvs, n_splits=n_splits)
+    import jax
+    import jax.numpy as jnp
 
-    run()  # compile
+    xd = jax.device_put(jnp.asarray(x))
+    jax.block_until_ready(xd)
+
+    def run():
+        return cv_simca_sweep(xd, y, 0, lvs, n_splits=n_splits,
+                              convert=False)
+
+    jax.block_until_ready(run())  # compile
+    reps = 5
     t0 = time.perf_counter()
-    run()
-    tpu_t = time.perf_counter() - t0
+    for _ in range(reps):
+        out = run()
+    jax.block_until_ready(out)
+    tpu_t = (time.perf_counter() - t0) / reps
 
     # reference algorithm: sklearn PCA refit per (fold, LV)
     from sklearn.decomposition import PCA

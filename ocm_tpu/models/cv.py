@@ -197,7 +197,8 @@ def cv_simca_sweep(x, y, cls_label, lv_values: Sequence[int],
                    t2_method: str = "Fdist", q_method: str = "jm",
                    t2_cl: float = 0.95, q_cl: float = 0.95,
                    d_cl: float = 0.95, shuffle: bool = False,
-                   random_state: Optional[int] = None):
+                   random_state: Optional[int] = None,
+                   convert: bool = True):
     """All (fold x LV) fits of one preprocessing combo in one jitted program.
 
     Returns dict with per-LV aggregates matching utils/CVSIMCA.py:203-208:
@@ -219,6 +220,10 @@ def cv_simca_sweep(x, y, cls_label, lv_values: Sequence[int],
                         decision_type=decision_type, t2_method=t2_method,
                         q_method=q_method, t2_cl=t2_cl, q_cl=q_cl,
                         d_cl=d_cl)
+    if not convert:
+        # leave results on device (callers composing further device work,
+        # or environments where per-array D2H round trips dominate)
+        return out
     return jax.tree.map(np.asarray, out)
 
 

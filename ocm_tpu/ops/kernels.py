@@ -175,3 +175,40 @@ def reparam_loss_pallas(mu, logvar, eps=None, seed: int = 0,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seeds, mu_p, lv_p)
     return z[:n, :k], kl[:n, 0]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused reparameterize+KL (training-path variant).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_reparam_kl(mu, logvar, eps, interpret: bool = False):
+    """z = mu + eps*exp(0.5*logvar) and per-sample KL in one fused kernel,
+    DIFFERENTIABLE via an analytic custom VJP (the backward is elementwise
+    and fuses into the surrounding XLA program):
+
+        dz/dmu = 1                     dkl/dmu     = mu
+        dz/dlogvar = eps*exp(lv/2)/2   dkl/dlogvar = -(1 - e^lv)/2
+
+    ``eps`` comes from jax.random.normal (keeps JAX RNG semantics identical
+    to the plain path); the PRNG-in-kernel variant (reparam_loss_pallas
+    with eps=None) serves inference sweeps.
+    """
+    return reparam_loss_pallas(mu, logvar, eps, interpret=interpret)
+
+
+def _fused_fwd(mu, logvar, eps, interpret):
+    out = reparam_loss_pallas(mu, logvar, eps, interpret=interpret)
+    return out, (mu, logvar, eps)
+
+
+def _fused_bwd(interpret, residuals, cotangents):
+    mu, logvar, eps = residuals
+    dz, dkl = cotangents
+    dmu = dz + dkl[:, None] * mu
+    dlv = (dz * 0.5 * eps * jnp.exp(0.5 * logvar)
+           - dkl[:, None] * 0.5 * (1.0 - jnp.exp(logvar)))
+    return dmu, dlv, jnp.zeros_like(eps)
+
+
+fused_reparam_kl.defvjp(_fused_fwd, _fused_bwd)

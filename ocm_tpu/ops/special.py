@@ -7,9 +7,13 @@ jitted, vmapped fits — the batched CV engine inverts thousands of them with
 different degrees of freedom in one call — so we implement the inverse
 regularized incomplete gamma/beta functions directly on device.
 
-Strategy: guarded bisection.  Both ``gammainc(a, .)`` and ``betainc(a, b, .)``
-are monotone in x, so a bracketed bisection converges unconditionally; at
-float64 ~120 halvings reach machine precision, and everything is branch-free
+Strategy: guarded bisection + Newton polish.  Both ``gammainc(a, .)`` and
+``betainc(a, b, .)`` are monotone in x, so a bracketed bisection converges
+unconditionally; after enough halvings to localize the root, a handful of
+bracket-clamped Newton steps (the derivatives are the closed-form pdfs)
+reach machine precision with far fewer special-function evaluations than
+pure bisection (the quantile inversions dominate the CV sweep's device
+time — profiled at >99% before this change).  Everything is branch-free
 (`lax.fori_loop` + `jnp.where`), so the same code vmaps/shards cleanly.
 Accuracy is validated against scipy in ``tests/test_special.py``.
 """
@@ -18,16 +22,22 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import betainc, gammainc
+from jax.scipy.special import betainc, gammainc, gammaln
 
 # Re-export: the Jackson-Mudholkar Q-limit needs erfinv (utils/SIMCA.py:197).
 from jax.scipy.special import erfinv as erfinv  # noqa: PLC0414
 
-_BISECT_ITERS = 120
+_BISECT_ITERS = 36
+_NEWTON_ITERS = 10
 
 
-def _bisect(fn, p, lo, hi, iters: int = _BISECT_ITERS):
-    """Solve fn(x) = p for x in [lo, hi]; fn monotone increasing in x."""
+def _bisect(fn, p, lo, hi, iters: int = _BISECT_ITERS, logpdf=None,
+            newton_iters: int = _NEWTON_ITERS):
+    """Solve fn(x) = p for x in [lo, hi]; fn monotone increasing in x.
+
+    ``logpdf(x)`` (log of fn') enables Newton polishing: steps are clamped
+    into the maintained bracket, so convergence stays unconditional.
+    """
 
     def body(_, carry):
         lo, hi = carry
@@ -36,7 +46,25 @@ def _bisect(fn, p, lo, hi, iters: int = _BISECT_ITERS):
         return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
 
     lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return 0.5 * (lo + hi)
+    x = 0.5 * (lo + hi)
+    if logpdf is None:
+        return x
+
+    def newton(_, carry):
+        x, lo, hi = carry
+        f = fn(x) - p
+        step = f * jnp.exp(-logpdf(x))
+        x_new = x - step
+        # keep the bracket consistent and fall back to its midpoint when
+        # Newton escapes (pdf ~ 0 in extreme tails)
+        lo = jnp.where(f < 0, x, lo)
+        hi = jnp.where(f >= 0, x, hi)
+        bad = (~jnp.isfinite(x_new)) | (x_new <= lo) | (x_new >= hi)
+        x_new = jnp.where(bad, 0.5 * (lo + hi), x_new)
+        return x_new, lo, hi
+
+    x, _, _ = jax.lax.fori_loop(0, newton_iters, newton, (x, lo, hi))
+    return x
 
 
 def gammaincinv(a, p):
@@ -67,7 +95,10 @@ def gammaincinv(a, p):
 
     hi, _ = jax.lax.while_loop(need_widen, widen, (hi0, gammainc(a, hi0)))
     lo = jnp.zeros_like(hi)
-    x = _bisect(lambda x: gammainc(a, x), p, lo, hi)
+    # d/dx P(a, x) = x^(a-1) e^(-x) / Gamma(a)
+    logpdf = lambda x: ((a - 1.0) * jnp.log(jnp.maximum(x, 1e-300)) - x
+                        - gammaln(a))
+    x = _bisect(lambda x: gammainc(a, x), p, lo, hi, logpdf=logpdf)
     x = jnp.where(p <= 0.0, 0.0, x)
     x = jnp.where(p >= 1.0, jnp.inf, x)
     return x
@@ -81,7 +112,12 @@ def betaincinv(a, b, p):
 
     lo = jnp.zeros_like(p)
     hi = jnp.ones_like(p)
-    x = _bisect(lambda x: betainc(a, b, x), p, lo, hi)
+    # d/dx I_x(a, b) = x^(a-1) (1-x)^(b-1) / B(a, b)
+    logbeta = gammaln(a) + gammaln(b) - gammaln(a + b)
+    logpdf = lambda x: ((a - 1.0) * jnp.log(jnp.maximum(x, 1e-300))
+                        + (b - 1.0) * jnp.log(jnp.maximum(1.0 - x, 1e-300))
+                        - logbeta)
+    x = _bisect(lambda x: betainc(a, b, x), p, lo, hi, logpdf=logpdf)
     x = jnp.where(p <= 0.0, 0.0, x)
     x = jnp.where(p >= 1.0, 1.0, x)
     return x

@@ -67,3 +67,31 @@ def test_reparam_kernel_matches_formula():
     kl_ref = -0.5 * np.sum(1 + np.asarray(logvar) - np.asarray(mu) ** 2
                            - np.exp(np.asarray(logvar)), axis=1)
     np.testing.assert_allclose(np.asarray(kl), kl_ref, rtol=1e-4)
+
+
+def test_fused_reparam_kl_gradients_match_pure_jax():
+    """The custom VJP equals autodiff through the plain-JAX formulation."""
+    from ocm_tpu.ops.kernels import fused_reparam_kl
+
+    rng = np.random.default_rng(5)
+    mu = jnp.asarray(rng.normal(0, 1, (32, 8)), jnp.float32)
+    lv = jnp.asarray(rng.normal(-1, 0.2, (32, 8)), jnp.float32)
+    eps = jnp.asarray(rng.normal(0, 1, (32, 8)), jnp.float32)
+
+    def loss_fused(mu, lv):
+        z, kl = fused_reparam_kl(mu, lv, eps, True)
+        return jnp.sum(z ** 2) + 3.0 * jnp.mean(kl)
+
+    def loss_plain(mu, lv):
+        z = mu + eps * jnp.exp(0.5 * lv)
+        kl = -0.5 * jnp.sum(1 + lv - mu * mu - jnp.exp(lv), axis=1)
+        return jnp.sum(z ** 2) + 3.0 * jnp.mean(kl)
+
+    v_f = loss_fused(mu, lv)
+    v_p = loss_plain(mu, lv)
+    np.testing.assert_allclose(float(v_f), float(v_p), rtol=1e-5)
+    g_f = jax.grad(loss_fused, argnums=(0, 1))(mu, lv)
+    g_p = jax.grad(loss_plain, argnums=(0, 1))(mu, lv)
+    for a, b in zip(g_f, g_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
