@@ -10,6 +10,10 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__))
+                if "__file__" in globals() else os.getcwd())
 
 import jax.numpy as jnp
 import numpy as np

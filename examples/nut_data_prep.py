@@ -11,6 +11,10 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__))
+                if "__file__" in globals() else os.getcwd())
 
 
 def main(out_path="out/nuts.h5", mat_dir=None, background_threshold=0.1,

@@ -12,8 +12,12 @@ Run on synthetic cheese-shaped data (default) or the real IR_ML.mat:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__))
+                if "__file__" in globals() else os.getcwd())
+import dataclasses
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,6 +14,11 @@ utils/final_vaesimca.py:267-322):
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__))
+                if "__file__" in globals() else os.getcwd())
 
 import jax
 import numpy as np

@@ -1,0 +1,121 @@
+"""Deployment-side scoring: resident compiled models over streaming batches.
+
+The reference has no serving story — scoring happens inline in experiment
+scripts.  For production one-class screening (e.g. a SWIR line-scan camera
+emitting ~10^5 pixel spectra per frame), this module keeps the model and
+the compiled decision function resident and scores fixed-shape chunks:
+
+- ``SIMCAScorer``   — classical SIMCA conformity over spectra chunks;
+- ``VAEScorer``     — any of the VAE decision variants over an OCMBundle
+  (optionally loaded straight from a reference ``.pth`` via
+  models.torch_import);
+
+Both pad the final ragged chunk to the compiled shape (one compilation per
+chunk size), optionally shard chunks over a device mesh, and expose
+``score_stream`` for iterables of arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocm_tpu.models.bundle import OCMBundle
+from ocm_tpu.models.simca import SIMCAModel, simca_decide
+from ocm_tpu.models.vae import ConvVAE1D
+
+
+def _pad_chunk(chunk: np.ndarray, size: int):
+    n = chunk.shape[0]
+    if n == size:
+        return chunk, n
+    out = np.zeros((size, chunk.shape[1]), chunk.dtype)
+    out[:n] = chunk
+    out[n:] = chunk[-1] if n else 0.0
+    return out, n
+
+
+class _ChunkedScorer:
+    """Shared machinery: compile once per chunk shape, pad ragged tails."""
+
+    def __init__(self, decide_fn, chunk_size: int = 8192,
+                 mesh=None, axis: str = "data"):
+        self.chunk_size = int(chunk_size)
+        if mesh is not None:
+            from ocm_tpu.parallel.mesh import batch_sharding
+
+            sharding = batch_sharding(mesh, axis)
+            self._fn = jax.jit(decide_fn, in_shardings=sharding,
+                               out_shardings=sharding)
+        else:
+            self._fn = jax.jit(decide_fn)
+
+    def score(self, x) -> dict:
+        """Score an (N, L) array in fixed-shape chunks; returns a dict of
+        np arrays ('accept' plus the per-variant statistics)."""
+        x = np.asarray(x)
+        outs: list = []
+        for start in range(0, x.shape[0], self.chunk_size):
+            chunk, n = _pad_chunk(x[start:start + self.chunk_size],
+                                  self.chunk_size)
+            res = self._fn(jnp.asarray(chunk))
+            outs.append(jax.tree.map(lambda a: np.asarray(a)[:n], res))
+        if not outs:
+            return {}
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    def score_stream(self, chunks: Iterable) -> Iterator[dict]:
+        """Generator over an iterable of (n_i, L) arrays (e.g. HSI frames):
+        yields one result dict per input chunk."""
+        for chunk in chunks:
+            yield self.score(chunk)
+
+
+class SIMCAScorer(_ChunkedScorer):
+    """Resident classical-SIMCA conformity scorer."""
+
+    def __init__(self, model: SIMCAModel, decision_type: str = "alt",
+                 chunk_size: int = 8192, mesh=None):
+        def decide(xc):
+            accept, dred, t2, q = simca_decide(model, xc, decision_type)
+            return {"accept": accept, "dred": dred, "t2": t2, "q": q}
+
+        super().__init__(decide, chunk_size, mesh)
+
+
+class VAEScorer(_ChunkedScorer):
+    """Resident VAE one-class scorer over an OCMBundle.
+
+    ``variant``: 'd2' | 'd2_q' | 'f' | 'full' (SURVEY.md §2.3 variants 2-4).
+    """
+
+    def __init__(self, model: ConvVAE1D, bundle: OCMBundle,
+                 variant: str = "d2", loss_type: str = "cosine",
+                 chunk_size: int = 8192, mesh=None):
+        from ocm_tpu.models import vae_decision as D
+
+        if variant == "d2":
+            decide = lambda xc: D.decide_d2(model, bundle, xc)._asdict()
+        elif variant == "d2_q":
+            decide = lambda xc: D.decide_d2_q(model, bundle, xc,
+                                              loss_type)._asdict()
+        elif variant == "f":
+            decide = lambda xc: D.decide_f(model, bundle, xc)._asdict()
+        elif variant == "full":
+            decide = lambda xc: D.decide_full_distance(model, bundle,
+                                                       xc)._asdict()
+        else:
+            raise ValueError(
+                f"unknown variant {variant!r}; expected d2|d2_q|f|full")
+        super().__init__(decide, chunk_size, mesh)
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, model: ConvVAE1D,
+                              **kwargs) -> "VAEScorer":
+        """Serve a reference-trained ``.pth`` directly."""
+        from ocm_tpu.models.torch_import import load_torch_checkpoint
+
+        return cls(model, load_torch_checkpoint(path, model), **kwargs)

@@ -1,0 +1,119 @@
+"""Serving layer: chunked resident scorers match one-shot scoring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocm_tpu.models.simca import fit_simca, simca_decide
+from ocm_tpu.serving import SIMCAScorer, VAEScorer
+
+from oracles import make_class_spectra
+
+
+@pytest.fixture(scope="module")
+def simca_model():
+    rng = np.random.default_rng(0)
+    x = make_class_spectra(rng, 150, 48)
+    return fit_simca(jnp.asarray(x, jnp.float32), 5), x
+
+
+def test_simca_scorer_matches_oneshot(simca_model):
+    model, _ = simca_model
+    rng = np.random.default_rng(1)
+    x = make_class_spectra(rng, 333, 48, center_shift=0.3).astype(np.float32)
+    scorer = SIMCAScorer(model, chunk_size=128)
+    out = scorer.score(x)
+    acc_ref, dred_ref, t2_ref, q_ref = simca_decide(model, jnp.asarray(x))
+    np.testing.assert_array_equal(out["accept"], np.asarray(acc_ref))
+    np.testing.assert_allclose(out["dred"], np.asarray(dred_ref), rtol=1e-5)
+    assert out["t2"].shape == (333,)
+
+
+def test_simca_scorer_stream(simca_model):
+    model, _ = simca_model
+    rng = np.random.default_rng(2)
+    frames = [make_class_spectra(rng, n, 48).astype(np.float32)
+              for n in (64, 200, 17)]
+    scorer = SIMCAScorer(model, chunk_size=100)
+    results = list(scorer.score_stream(frames))
+    assert [r["accept"].shape[0] for r in results] == [64, 200, 17]
+    # streamed == concatenated
+    whole = scorer.score(np.concatenate(frames))
+    np.testing.assert_array_equal(
+        np.concatenate([r["accept"] for r in results]), whole["accept"])
+
+
+def test_simca_scorer_empty(simca_model):
+    model, _ = simca_model
+    assert SIMCAScorer(model).score(np.zeros((0, 48), np.float32)) == {}
+
+
+def test_simca_scorer_sharded(simca_model):
+    from ocm_tpu.parallel.mesh import make_mesh
+
+    model, _ = simca_model
+    mesh = make_mesh((8,), ("data",))
+    rng = np.random.default_rng(3)
+    x = make_class_spectra(rng, 300, 48).astype(np.float32)
+    scorer = SIMCAScorer(model, chunk_size=160, mesh=mesh)  # 160 % 8 == 0
+    out = scorer.score(x)
+    acc_ref, _, _, _ = simca_decide(model, jnp.asarray(x))
+    np.testing.assert_array_equal(out["accept"], np.asarray(acc_ref))
+
+
+@pytest.fixture(scope="module")
+def vae_bundle():
+    from ocm_tpu.models.trainer import TrainConfig, train_vae
+    from ocm_tpu.models.vae import ConvVAE1D
+    from ocm_tpu.models.vae_decision import fit_thresholds
+
+    rng = np.random.default_rng(4)
+    x = make_class_spectra(rng, 96, 48).astype(np.float32)
+    model = ConvVAE1D(input_length=48, latent_dim=4, conv_blocks=2,
+                      n_filters=8, hidden_fc=32)
+    r = train_vae(model, x, x[:24],
+                  TrainConfig(epochs=4, batch_size=32,
+                              loss_type="euclidean"), jax.random.key(0))
+    bundle = fit_thresholds(model, r.bundle, x, loss_type="euclidean")
+    return model, bundle, x
+
+
+@pytest.mark.parametrize("variant", ["d2", "d2_q", "f", "full"])
+def test_vae_scorer_variants(vae_bundle, variant):
+    model, bundle, x = vae_bundle
+    scorer = VAEScorer(model, bundle, variant=variant,
+                       loss_type="euclidean", chunk_size=64)
+    out = scorer.score(x)
+    assert out["accept"].shape == (96,)
+    assert np.isfinite(out["d2"]).all()
+
+
+def test_vae_scorer_bad_variant(vae_bundle):
+    model, bundle, _ = vae_bundle
+    with pytest.raises(ValueError):
+        VAEScorer(model, bundle, variant="nope")
+
+
+def test_vae_scorer_from_torch_checkpoint(tmp_path, vae_bundle):
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_torch_import import PARAMS, build_torch_vae
+
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    tm = build_torch_vae(**PARAMS)
+    tm.eval()
+    path = str(tmp_path / "ref.pth")
+    torch.save(tm.state_dict(), path)
+    model = __import__("ocm_tpu.models.vae", fromlist=["ConvVAE1D"]).ConvVAE1D(
+        input_length=PARAMS["length"], latent_dim=PARAMS["latent"],
+        conv_blocks=PARAMS["blocks"], n_filters=PARAMS["nf"],
+        kernel_size=PARAMS["k"], stride=PARAMS["stride"],
+        hidden_fc=PARAMS["hidden"])
+    scorer = VAEScorer.from_torch_checkpoint(path, model, chunk_size=32)
+    rng = np.random.default_rng(5)
+    out = scorer.score(rng.normal(0, 1, (50, PARAMS["length"]))
+                       .astype(np.float32))
+    assert out["accept"].shape == (50,)
