@@ -76,13 +76,35 @@ def main(loss_type="cosine", epochs=100, batch_size=64, lr=1e-3,
                 "mean_false_acceptance": float(m.mean_false_acceptance)}
 
     x_ts_j = jnp.asarray(x_ts)
+    # corrected f/full decisions freeze their statistics on calibration
+    # (quirks Q3/Q4 produce nearly-vacuous batch-relative rules on test
+    # sets dominated by anomalies — reproduced under the plain keys)
+    from ocm_tpu.models.bundle import decode, encode, standardize
+    from ocm_tpu.stats.qhf import qhf_fit
+
+    x_cal_j = jnp.asarray(x_cal)
+    mu_cal, _ = encode(model, bundle, x_cal_j)
+    x_rec_cal = decode(model, bundle, mu_cal)
+    calib = qhf_fit(standardize(bundle, x_cal_j),
+                    standardize(bundle, x_rec_cal), mu_cal)
+    q_cal, _, _ = D.reconstruction_errors(model, bundle, x_cal_j,
+                                          "euclidean")
+    h_cal = jnp.sum((mu_cal - bundle.latent_mean) ** 2, axis=1)
+    frozen_moments = (jnp.mean(h_cal), jnp.std(h_cal),
+                      jnp.mean(q_cal), jnp.std(q_cal))
+
     metrics = {
         "d2": binary_metrics(D.decide_d2(model, bundle, x_ts_j).accept),
         "d2_q": binary_metrics(
             D.decide_d2_q(model, bundle, x_ts_j, loss_type).accept),
         "f": binary_metrics(D.decide_f(model, bundle, x_ts_j).accept),
+        "f_corrected": binary_metrics(
+            D.decide_f(model, bundle, x_ts_j, calibration=calib).accept),
         "full": binary_metrics(
             D.decide_full_distance(model, bundle, x_ts_j).accept),
+        "full_corrected": binary_metrics(
+            D.decide_full_distance(model, bundle, x_ts_j,
+                                   moments=frozen_moments).accept),
     }
     vs = VAESIMCA(model, bundle, type="alt").fit_thresholds(x_cal)
     acc, _, _ = vs.predict(x_ts)

@@ -190,3 +190,145 @@ def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
     return {"pred": np.asarray(pooled), "sens": np.asarray(sens_pooled),
             "spec": np.asarray(spec_mean),
             "eff": np.asarray(jnp.sqrt(sens_pooled * spec_mean))}
+
+
+def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
+                        n_splits: int = 5, model_axis: str = "model",
+                        data_axis: str = "data", decision_type: str = "alt",
+                        t2_method: str = "Fdist", q_method: str = "jm",
+                        t2_cl: float = 0.95, q_cl: float = 0.95,
+                        d_cl: float = 0.95):
+    """CV sweep on a 2-D mesh: folds shard over ``model_axis`` AND the
+    sample axis shards over ``data_axis`` — the full SURVEY.md 5.8 layout.
+
+    Each (fold-shard, data-shard) block computes its partial class
+    statistics; covariances and confusion counts reduce with psum over ICI
+    along ``data_axis``; the small per-fold train statistics (T2/Q scalars)
+    all_gather for the order-statistic limit engines; pooled aggregation
+    runs replicated.  Numerically identical to cv_simca_sweep
+    (tests/test_parallel.py).
+
+    Requires: n_splits divisible by the model-axis size, N divisible by the
+    data-axis size (pad rows upstream; padded rows must carry y != cls_label
+    and are excluded from metrics via the validity mask).
+    """
+    import numpy as np
+
+    from ocm_tpu.models import cv as cv_mod
+    from ocm_tpu.models.simca import masked_moments, masked_percentile
+
+    x = jnp.asarray(x)
+    y_np = np.asarray(y)
+    n = x.shape[0]
+    n_model = mesh.shape[model_axis]
+    n_data = mesh.shape[data_axis]
+    if n_splits % n_model:
+        raise ValueError(f"n_splits={n_splits} not divisible by mesh axis "
+                         f"{model_axis!r} of size {n_model}")
+    if n % n_data:
+        raise ValueError(f"N={n} not divisible by mesh axis {data_axis!r} "
+                         f"of size {n_data}; pad the batch first")
+    if decision_type == "dd":
+        t2_method = q_method = "chi2pom"
+
+    train_np, held_np = cv_mod.fold_masks(y_np, cls_label, n_splits)
+    other_np = (y_np != cls_label)
+    lvs = jnp.asarray(list(lv_values), dtype=jnp.int32)
+    n_features = x.shape[1]
+
+    def block(x_loc, train_loc, held_loc, other_loc):
+        # x_loc: (N/d, L); train/held: (F/m, N/d); other: (N/d,)
+        def per_fold(w_b, held_b):
+            w = w_b.astype(x_loc.dtype)
+            n_f = jax.lax.psum(jnp.sum(w), data_axis)
+            sum_x = jax.lax.psum(jnp.sum(x_loc * w[:, None], axis=0),
+                                 data_axis)
+            mean = sum_x / n_f
+            xc_w = (x_loc - mean[None, :]) * w[:, None]
+            gram = jax.lax.psum(xc_w.T @ xc_w, data_axis)
+            c = gram / (n_f - 1.0)
+            eigval, eigvec = jnp.linalg.eigh(c)
+            eigval = jnp.maximum(eigval[::-1], 0.0)
+            eigvec = eigvec[:, ::-1]
+            idx = jnp.argmax(jnp.abs(eigvec), axis=0)
+            signs = jnp.sign(eigvec[idx, jnp.arange(eigvec.shape[1])])
+            eigvec = eigvec * jnp.where(signs == 0, 1.0, signs)[None, :]
+
+            xc = x_loc - mean[None, :]
+            t_all = xc @ eigvec                       # local scores
+            xc2_all = jnp.sum(xc * xc, axis=1)
+            max_rank = jnp.minimum(n_f, n_features).astype(jnp.int32)
+
+            # gather per-fold train statistics (N scalars) for the
+            # order-statistic limit engines
+            w_g = jax.lax.all_gather(w, data_axis, tiled=True)
+
+            def per_lv(k):
+                r = eigval.shape[0]
+                comp = jnp.arange(r) < k
+                cutoff = 1e-15 * jnp.max(eigval)
+                inv_lam = jnp.where((eigval > cutoff) & comp,
+                                    1.0 / jnp.maximum(eigval, 1e-300), 0.0)
+                t2_loc = jnp.sum(t_all * t_all * inv_lam[None, :], axis=1)
+                q_loc = jnp.maximum(
+                    xc2_all - jnp.sum(
+                        jnp.where(comp[None, :], t_all * t_all, 0.0),
+                        axis=1), 0.0)
+                t2_g = jax.lax.all_gather(t2_loc * w, data_axis, tiled=True)
+                q_g = jax.lax.all_gather(q_loc * w, data_axis, tiled=True)
+                thetas = L.residual_thetas(eigval, k, max_rank=max_rank)
+                t2_res = masked_t2_limit(t2_g, w_g, n_f, k, t2_method,
+                                         t2_cl)
+                q_res = masked_q_limit(q_g, w_g, n_f, q_method, q_cl,
+                                       thetas)
+                d_limit = L.critical_distance(decision_type, t2_res, q_res,
+                                              n_components=k, thetas=thetas,
+                                              dcl=d_cl)
+                dred = L.reduced_distance(decision_type, t2_loc, q_loc,
+                                          t2_res, q_res)
+                accept = dred < d_limit
+                test_m = held_b | other_loc
+                tp = jax.lax.psum(jnp.sum(accept & held_b & test_m),
+                                  data_axis)
+                fn_ = jax.lax.psum(jnp.sum(~accept & held_b & test_m),
+                                   data_axis)
+                fp = jax.lax.psum(jnp.sum(accept & ~held_b & test_m),
+                                  data_axis)
+                tn = jax.lax.psum(jnp.sum(~accept & ~held_b & test_m),
+                                  data_axis)
+                sens = tp / (tp + fn_) * 100.0
+                spec = tn / (tn + fp) * 100.0
+                return accept, sens, spec
+
+            return jax.vmap(per_lv)(lvs)
+
+        return jax.vmap(per_fold)(train_loc, held_loc)
+
+    specs = {
+        "x": P(data_axis), "train": P(model_axis, data_axis),
+        "held": P(model_axis, data_axis), "other": P(data_axis),
+    }
+    run = shard_map(
+        block, mesh=mesh,
+        in_specs=(specs["x"], specs["train"], specs["held"], specs["other"]),
+        out_specs=(P(model_axis, None, data_axis),   # accept (F, L, N)
+                   P(model_axis, None),              # sens (F, L)
+                   P(model_axis, None)),             # spec (F, L)
+        check_vma=False)
+    accept, sens, spec = jax.jit(run)(
+        x, jnp.asarray(train_np), jnp.asarray(held_np),
+        jnp.asarray(other_np))
+
+    spec_mean = jnp.mean(spec, axis=0)
+    held_m = jnp.asarray(held_np)
+    other_m = jnp.asarray(other_np)
+    own = jnp.einsum("fln,fn->ln", accept.astype(x.dtype),
+                     held_m.astype(x.dtype))
+    pooled = jnp.where(other_m[None, :], accept[-1], own > 0)
+    in_class = ~other_m
+    tp = jnp.sum(pooled & in_class[None, :], axis=1)
+    fn_ = jnp.sum((~pooled) & in_class[None, :], axis=1)
+    sens_pooled = tp / (tp + fn_) * 100.0
+    return {"pred": np.asarray(pooled), "sens": np.asarray(sens_pooled),
+            "spec": np.asarray(spec_mean),
+            "eff": np.asarray(jnp.sqrt(sens_pooled * spec_mean))}

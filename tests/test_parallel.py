@@ -123,3 +123,48 @@ def test_dp_training_runs_and_learns(mesh):
     assert np.all(np.isfinite(tl)) and np.all(np.isfinite(vl))
     assert tl[-1] < tl[0]
     assert 0 <= best_ep < 4
+
+
+def test_cv_sweep_2d_mesh_matches_local(cls_data):
+    from ocm_tpu.parallel.simca_dist import cv_sweep_sharded_2d
+
+    rng = np.random.default_rng(7)
+    x_other = make_class_spectra(rng, 40, 40, center_shift=1.5)
+    x = np.concatenate([cls_data, x_other])          # 160 rows
+    y = np.concatenate([np.zeros(len(cls_data)), np.ones(len(x_other))])
+    mesh2d = make_mesh((4, 2), ("model", "data"))
+    lvs = [2, 4, 6]
+    got = cv_sweep_sharded_2d(x, y, 0, lvs, mesh2d, n_splits=4)
+    want = cv_simca_sweep(x, y, 0, lvs, n_splits=4)
+    np.testing.assert_allclose(got["spec"], want["spec"], atol=1e-8)
+    np.testing.assert_allclose(got["sens"], want["sens"], atol=1e-8)
+    np.testing.assert_allclose(got["eff"], want["eff"], atol=1e-8)
+
+
+def test_cv_sweep_2d_mesh_perc_limits(cls_data):
+    """Order-statistic limits need the all_gather path — exercise it."""
+    from ocm_tpu.parallel.simca_dist import cv_sweep_sharded_2d
+
+    rng = np.random.default_rng(8)
+    x_other = make_class_spectra(rng, 40, 40, center_shift=1.5)
+    x = np.concatenate([cls_data, x_other])
+    y = np.concatenate([np.zeros(len(cls_data)), np.ones(len(x_other))])
+    mesh2d = make_mesh((2, 4), ("model", "data"))
+    got = cv_sweep_sharded_2d(x, y, 0, [3, 5], mesh2d, n_splits=4,
+                              t2_method="perc", q_method="perc")
+    want = cv_simca_sweep(x, y, 0, [3, 5], n_splits=4, t2_method="perc",
+                          q_method="perc")
+    np.testing.assert_allclose(got["eff"], want["eff"], atol=1e-8)
+
+
+def test_cv_sweep_2d_divisibility_errors(cls_data):
+    from ocm_tpu.parallel.simca_dist import cv_sweep_sharded_2d
+
+    y = np.zeros(len(cls_data))
+    y[-30:] = 1
+    mesh2d = make_mesh((4, 2), ("model", "data"))
+    with pytest.raises(ValueError):
+        cv_sweep_sharded_2d(cls_data, y, 0, [2], mesh2d, n_splits=5)
+    with pytest.raises(ValueError):
+        cv_sweep_sharded_2d(cls_data[:119], y[:119], 0, [2], mesh2d,
+                            n_splits=4)
