@@ -69,24 +69,28 @@ def bench_tpu(cals, xs, k=10, repeats=5, inner_iters=8):
     return min(times) / inner_iters
 
 
-def bench_cpu_reference(cals, xs, k=10):
+def bench_cpu_reference(cals, xs, k=10, repeats=2):
     """The reference's own fit/score algorithm (utils/SIMCA.py:62-75,
-    127-130): 3 sklearn PCA solves per class + reconstruction-based Q."""
+    127-130): 3 sklearn PCA solves per class + reconstruction-based Q.
+    Best-of-N so transient host contention doesn't inflate the baseline."""
     from sklearn.decomposition import PCA
 
-    t0 = time.perf_counter()
-    for x_cls in cals:
-        pca_full = PCA(n_components=None, svd_solver="full")
-        t_full = pca_full.fit_transform(x_cls)
-        t = t_full[:, :k]
-        invcov = np.linalg.pinv(np.cov(t, rowvar=False))
-        pca_k = PCA(n_components=k, svd_solver="full").fit(x_cls)
-        t_new = pca_k.transform(xs)
-        x_rec = pca_k.inverse_transform(t_new)
-        q = np.sum((xs - x_rec) ** 2, axis=1)
-        t2 = np.einsum("ij,jk,ik->i", t_new, invcov, t_new)
-        del q, t2
-    return time.perf_counter() - t0
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for x_cls in cals:
+            pca_full = PCA(n_components=None, svd_solver="full")
+            t_full = pca_full.fit_transform(x_cls)
+            t = t_full[:, :k]
+            invcov = np.linalg.pinv(np.cov(t, rowvar=False))
+            pca_k = PCA(n_components=k, svd_solver="full").fit(x_cls)
+            t_new = pca_k.transform(xs)
+            x_rec = pca_k.inverse_transform(t_new)
+            q = np.sum((xs - x_rec) ** 2, axis=1)
+            t2 = np.einsum("ij,jk,ik->i", t_new, invcov, t_new)
+            del q, t2
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def main():
