@@ -1,0 +1,221 @@
+"""Direct parity against the ACTUAL reference implementation.
+
+These tests import TEAM-AIOLY/OCM-VAE-SIMCA from the read-only mount at
+/root/reference (plotly, which is not installed, is stubbed) and assert
+that ocm_tpu reproduces its outputs on identical inputs at float64 — the
+BASELINE.json "bit-tolerance match" requirement checked against the real
+code rather than re-derived oracles.  Skipped wholesale if the mount or a
+dependency is absent.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference mount not available")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference's utils package with plotly stubbed out."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    for name in ("plotly", "plotly.graph_objects"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["plotly"].graph_objects = sys.modules[
+        "plotly.graph_objects"]
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    utils = pytest.importorskip("utils")
+    return utils
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    rng = np.random.default_rng(13)
+    t = np.linspace(0, 1, 64)
+
+    def block(c, n):
+        base = np.sin(2 * np.pi * (3 + 0.8 * c) * t) + 0.3 * c
+        return (rng.normal(1, 0.08, (n, 1)) * base
+                + rng.normal(0, 0.02, (n, 64)))
+
+    x = np.concatenate([block(0, 80), block(1, 50), block(2, 40)])
+    y = np.concatenate([np.zeros(80), np.ones(50), np.full(40, 2)])
+    xt = np.concatenate([block(0, 40), block(1, 30), block(2, 20)])
+    yt = np.concatenate([np.zeros(40), np.ones(30), np.full(20, 2)])
+    return x, y.astype(int), xt, yt.astype(int)
+
+
+@pytest.mark.parametrize("dtype_,t2lim,qlim", [
+    ("alt", "Fdist", "jm"),
+    ("sim", "chi2", "chi2box"),
+    ("ci", "perc", "perc"),
+    ("alt", "Fdistrig", "chi2pom"),
+    ("dd", "chi2pom", "chi2pom"),
+])
+def test_simca_decisions_match_reference(ref, dataset, dtype_, t2lim, qlim):
+    from ocm_tpu.models.simca import SIMCA as OurSIMCA
+
+    x, y, xt, yt = dataset
+    theirs = ref.SIMCA(n_components=6, model_class=0, type=dtype_,
+                       t2lim=t2lim, qlim=qlim, verbose=False)
+    theirs.fit(x, y)
+    pred_ref = np.ravel(theirs.predict(xt, y_true=yt))
+
+    ours = OurSIMCA(n_components=6, model_class=0, type=dtype_,
+                    t2lim=t2lim, qlim=qlim, verbose=False)
+    ours.fit(x, y)
+    pred_our = np.ravel(ours.predict(xt, y_true=yt))
+
+    np.testing.assert_array_equal(pred_our, pred_ref)
+    for key in ("sensitivity", "specificity", "accuracy"):
+        np.testing.assert_allclose(ours.metrics[0][key],
+                                   theirs.metrics[0][key], rtol=1e-9)
+
+
+def test_simca_transform_matches_reference(ref, dataset):
+    from ocm_tpu.models.simca import SIMCA as OurSIMCA
+
+    x, y, xt, _ = dataset
+    theirs = ref.SIMCA(n_components=6, model_class=0, verbose=False)
+    theirs.fit(x, y)
+    t2_r, t2red_r, q_r, qred_r = theirs.transform(xt)
+    ours = OurSIMCA(n_components=6, model_class=0, verbose=False)
+    ours.fit(x, y)
+    t2_o, t2red_o, q_o, qred_o = (np.asarray(a) for a in ours.transform(xt))
+    np.testing.assert_allclose(t2_o, np.ravel(t2_r), rtol=1e-7)
+    np.testing.assert_allclose(q_o, np.ravel(q_r), rtol=1e-7)
+    np.testing.assert_allclose(t2red_o, np.ravel(t2red_r), rtol=1e-7)
+    np.testing.assert_allclose(qred_o, np.ravel(qred_r), rtol=1e-7)
+
+
+def test_cv_grid_matches_reference(ref, dataset):
+    from ocm_tpu.models.cv import (
+        ClasswiseKFoldWithExternalVal as OurCV,
+        cross_validate_simca_grid as our_grid)
+    from ocm_tpu.models.simca import SIMCA as OurSIMCA
+
+    x, y, _, _ = dataset
+    their_cv = ref.ClasswiseKFoldWithExternalVal(n_splits=4, cls_label=0)
+    their_est = ref.SIMCA(model_class=0, verbose=False)
+    res_ref = ref.cross_validate_simca_grid(
+        their_est, x, y, their_cv, LV_min=2, LV_max=6, param_grid={},
+        class_index=0, print_summary=False)
+
+    our_cv = OurCV(n_splits=4, cls_label=0)
+    our_est = OurSIMCA(model_class=0, verbose=False)
+    res_our = our_grid(our_est, x, y, our_cv, LV_min=2, LV_max=6,
+                       class_index=0, print_summary=False)
+
+    assert len(res_our["results"]) == len(res_ref["results"])
+    for a, b in zip(res_our["results"], res_ref["results"]):
+        assert a["LV"] == b["LV"]
+        np.testing.assert_allclose(a["spec"], b["spec"], atol=1e-8)
+        np.testing.assert_allclose(a["sens"], b["sens"], atol=1e-8)
+        np.testing.assert_allclose(a["eff"], b["eff"], atol=1e-8)
+    assert res_our["best_LV"] == res_ref["best_LV"]
+    np.testing.assert_allclose(res_our["best_score"], res_ref["best_score"],
+                               atol=1e-8)
+
+
+def test_object_aware_splits_match_reference(ref, dataset):
+    from ocm_tpu.utils.splits import object_aware_splits as our_splits
+
+    rng = np.random.default_rng(3)
+    t = np.linspace(0, 1, 48)
+
+    def objs(shift, n_obj, px):
+        base = np.sin(2 * np.pi * (3 + shift) * t) + shift
+        return [
+            {"spectral_data":
+                 (rng.normal(1, .05, (px, 1)) * base
+                  + rng.normal(0, .02, (px, 48))).astype(np.float32)}
+            for _ in range(n_obj)]
+
+    data = {"a": objs(0.0, 8, 25), "b": objs(1.5, 6, 20)}
+    (splits_r, xts_r, yts_r, xcal_r, xval_r, xtin_r,
+     xtout_r) = ref.object_aware_splits(data, ["a", "b"], "a", 48)
+    res = our_splits(data, ["a", "b"], "a", 48, verbose=False)
+    np.testing.assert_allclose(res.x_cal, xcal_r, rtol=1e-5)
+    np.testing.assert_allclose(res.x_val, xval_r, rtol=1e-5)
+    np.testing.assert_allclose(res.x_test, xts_r, rtol=1e-5)
+    np.testing.assert_array_equal(res.y_test, yts_r)
+    np.testing.assert_allclose(res.x_test_out, xtout_r, rtol=1e-5)
+
+
+def test_compute_q_h_f_matches_reference(dataset):
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    vae_model = pytest.importorskip("vae_model")
+
+    import jax.numpy as jnp
+
+    from ocm_tpu.stats.qhf import qhf_batch
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 1, (120, 40))
+    xr = x + rng.normal(0, 0.1, (120, 40))
+    z = rng.normal(0, 1, (120, 8))
+    q_r, h_r, f_r, qc_r, hc_r, fc_r = vae_model.compute_q_h_f(
+        torch.tensor(x), torch.tensor(xr), torch.tensor(z))
+    res = qhf_batch(jnp.asarray(x), jnp.asarray(xr), jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(res.q), q_r.numpy(), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.h), h_r.numpy(), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.f), f_r.numpy(), rtol=1e-7)
+    np.testing.assert_allclose(float(res.q_crit), qc_r, rtol=1e-7)
+    np.testing.assert_allclose(float(res.h_crit), hc_r, rtol=1e-7)
+    np.testing.assert_allclose(float(res.f_crit), fc_r, rtol=1e-7)
+
+
+def test_reference_checkpoint_roundtrip():
+    """A REAL reference ConvVAE1D state_dict imports and reproduces the
+    reference forward pass — checkpoint-format compatibility proven against
+    the genuine class, not a fixture."""
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    vae_model = pytest.importorskip("vae_model")
+
+    import jax.numpy as jnp
+
+    from ocm_tpu.models import bundle as B
+    from ocm_tpu.models.torch_import import bundle_from_torch_state_dict
+    from ocm_tpu.models.vae import ConvVAE1D
+
+    rng = np.random.default_rng(11)
+    length, latent = 96, 8
+    mean = rng.normal(0, 1, length)
+    std = rng.uniform(0.5, 2.0, length)
+    torch.manual_seed(2)
+    tm = vae_model.ConvVAE1D(input_length=length, latent_dim=latent,
+                             mean=mean, std=std, conv_blocks=3,
+                             n_filters=16, kernel_size=9, hidden_fc=64)
+    tm.eval()
+    jm = ConvVAE1D(input_length=length, latent_dim=latent, conv_blocks=3,
+                   n_filters=16, kernel_size=9, hidden_fc=64)
+    bundle = bundle_from_torch_state_dict(tm.state_dict(), jm)
+
+    x = rng.normal(0, 1, (8, length)).astype(np.float32)
+    with torch.no_grad():
+        mu_r, lv_r = tm.encode(((torch.tensor(x) - tm.spec_mean)
+                                / tm.spec_std))
+        z = torch.tensor(rng.normal(0, 1, (8, latent)).astype(np.float32))
+        xr_r = tm.decode(z)
+    mu_o, lv_o = B.encode(jm, bundle, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(mu_o), mu_r.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lv_o), lv_r.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    xr_o_std = ((np.asarray(B.decode(jm, bundle, jnp.asarray(z.numpy())))
+                 - np.asarray(bundle.spec_mean))
+                / np.asarray(bundle.spec_std))
+    np.testing.assert_allclose(xr_o_std, xr_r.numpy(), rtol=1e-3,
+                               atol=1e-4)
