@@ -198,7 +198,6 @@ def bench_vae_simca(quick=False):
     import jax
     import jax.numpy as jnp
 
-    from ocm_tpu.models import vae_decision as D
     from ocm_tpu.models.trainer import TrainConfig, train_vae
     from ocm_tpu.models.vae import ConvVAE1D
     from ocm_tpu.models.vaesimca import fit_vaesimca, predict_vaesimca

@@ -30,7 +30,7 @@ cross-replica statistics under shard_map/pjit.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

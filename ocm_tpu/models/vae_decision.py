@@ -27,10 +27,10 @@ import jax
 import jax.numpy as jnp
 
 from ocm_tpu.models.bundle import (OCMBundle, decode, encode, forward,
-                                   standardize, unstandardize)
+                                   standardize)
 from ocm_tpu.models.vae import ConvVAE1D
 from ocm_tpu.ops.linalg import mahalanobis_sq, pinv_psd
-from ocm_tpu.stats.qhf import qhf_batch, qhf_calibrated, qhf_fit
+from ocm_tpu.stats.qhf import qhf_batch, qhf_calibrated
 
 
 def latent_d2(model: ConvVAE1D, bundle: OCMBundle, x):

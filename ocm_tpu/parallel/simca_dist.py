@@ -15,7 +15,7 @@ sums in a different order.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
@@ -215,7 +215,7 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
     import numpy as np
 
     from ocm_tpu.models import cv as cv_mod
-    from ocm_tpu.models.simca import masked_moments, masked_percentile
+
 
     x = jnp.asarray(x)
     y_np = np.asarray(y)

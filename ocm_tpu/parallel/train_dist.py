@@ -11,8 +11,6 @@ single-chip large-batch training — not an approximation.
 
 from __future__ import annotations
 
-import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

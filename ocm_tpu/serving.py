@@ -17,7 +17,7 @@ chunk size), optionally shard chunks over a device mesh, and expose
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ TPU-first additions:
 
 from __future__ import annotations
 
-import dataclasses
 import itertools
 import os
 from typing import Callable, Mapping, Optional, Sequence
@@ -38,7 +37,7 @@ import optax
 
 from ocm_tpu.models.bundle import new_bundle, spectral_stats
 from ocm_tpu.models.trainer import (TrainConfig, TrainResult,
-                                    make_eval_loss, _batch_indices)
+                                    _batch_indices)
 from ocm_tpu.models.vae import ConvVAE1D, beta_vae_loss, init_vae
 from ocm_tpu.utils.io import load_json, save_json
 
