@@ -401,10 +401,20 @@ class SIMCA:
         classes = np.asarray(classes)
         self._model = {}
         for i, cls in enumerate(self.model_class):
-            x_cls = jnp.asarray(X[classes == cls])
+            x_cls = X[classes == cls]
+            if x_cls.shape[0] == 0:
+                raise ValueError(f"no samples for model class {cls!r}")
+            max_k = min(x_cls.shape)
+            if not 0 < ncomp[i] <= max_k:
+                # sklearn PCA raises the equivalent bound error; the limit
+                # math is undefined past the data rank (e.g. Fdist with
+                # n - k <= 0)
+                raise ValueError(
+                    f"n_components={ncomp[i]} for class {cls!r} must be in "
+                    f"[1, min(n_samples, n_features)] = [1, {max_k}]")
             self._model[cls] = fit_simca(
-                x_cls, ncomp[i], self.type, self.t2lim, self.qlim,
-                self.t2cl, self.qcl, self.dcl, dtype=self.dtype)
+                jnp.asarray(x_cls), ncomp[i], self.type, self.t2lim,
+                self.qlim, self.t2cl, self.qcl, self.dcl, dtype=self.dtype)
         self.n_features_in_ = X.shape[1]
         self.is_fitted_ = True
         return self

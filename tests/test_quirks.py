@@ -169,3 +169,14 @@ def test_q11_double_standardization_changes_q(rng):
     q_fixed = _latent_roundtrip_q(model, bundle, z, False)
     assert not np.allclose(np.asarray(q_compat), np.asarray(q_fixed),
                            rtol=1e-3)
+
+
+def test_fit_validation_errors(three_class):
+    x, y = three_class
+    with pytest.raises(ValueError, match="n_components"):
+        SIMCA(n_components=999, model_class=0, verbose=False).fit(x, y)
+    with pytest.raises(ValueError, match="no samples"):
+        SIMCA(n_components=3, model_class=7, verbose=False).fit(x, y)
+    with pytest.raises(ValueError, match="length"):
+        SIMCA(n_components=[2, 3], model_class=[0, 1, 2],
+              verbose=False).fit(x, y)
