@@ -208,16 +208,16 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
     runs replicated.  Numerically identical to cv_simca_sweep
     (tests/test_parallel.py).
 
-    Requires: n_splits divisible by the model-axis size, N divisible by the
-    data-axis size (pad rows upstream; padded rows must carry y != cls_label
-    and are excluded from metrics via the validity mask).
+    Requires n_splits divisible by the model-axis size.  The sample axis is
+    auto-padded to the data-axis size with rows that carry a zero validity
+    mask, so padding enters no statistic (fold masks exclude it from fits;
+    the confusion counts intersect with the validity mask).
     """
     import numpy as np
 
     from ocm_tpu.models import cv as cv_mod
 
-
-    x = jnp.asarray(x)
+    x = np.asarray(x)
     y_np = np.asarray(y)
     n = x.shape[0]
     n_model = mesh.shape[model_axis]
@@ -225,19 +225,26 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
     if n_splits % n_model:
         raise ValueError(f"n_splits={n_splits} not divisible by mesh axis "
                          f"{model_axis!r} of size {n_model}")
-    if n % n_data:
-        raise ValueError(f"N={n} not divisible by mesh axis {data_axis!r} "
-                         f"of size {n_data}; pad the batch first")
     if decision_type == "dd":
         t2_method = q_method = "chi2pom"
 
     train_np, held_np = cv_mod.fold_masks(y_np, cls_label, n_splits)
     other_np = (y_np != cls_label)
+    valid_np = np.ones(n, dtype=bool)
+    pad = (-n) % n_data
+    if pad:
+        x = np.concatenate([x, np.zeros((pad, x.shape[1]), x.dtype)])
+        zeros_f = np.zeros((n_splits, pad), dtype=bool)
+        train_np = np.concatenate([train_np, zeros_f], axis=1)
+        held_np = np.concatenate([held_np, zeros_f], axis=1)
+        other_np = np.concatenate([other_np, np.ones(pad, dtype=bool)])
+        valid_np = np.concatenate([valid_np, np.zeros(pad, dtype=bool)])
+    x = jnp.asarray(x)
     lvs = jnp.asarray(list(lv_values), dtype=jnp.int32)
     n_features = x.shape[1]
 
-    def block(x_loc, train_loc, held_loc, other_loc):
-        # x_loc: (N/d, L); train/held: (F/m, N/d); other: (N/d,)
+    def block(x_loc, train_loc, held_loc, other_loc, valid_loc):
+        # x_loc: (N/d, L); train/held: (F/m, N/d); other/valid: (N/d,)
         def per_fold(w_b, held_b):
             w = w_b.astype(x_loc.dtype)
             n_f = jax.lax.psum(jnp.sum(w), data_axis)
@@ -287,7 +294,7 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
                 dred = L.reduced_distance(decision_type, t2_loc, q_loc,
                                           t2_res, q_res)
                 accept = dred < d_limit
-                test_m = held_b | other_loc
+                test_m = (held_b | other_loc) & valid_loc
                 tp = jax.lax.psum(jnp.sum(accept & held_b & test_m),
                                   data_axis)
                 fn_ = jax.lax.psum(jnp.sum(~accept & held_b & test_m),
@@ -304,24 +311,22 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
 
         return jax.vmap(per_fold)(train_loc, held_loc)
 
-    specs = {
-        "x": P(data_axis), "train": P(model_axis, data_axis),
-        "held": P(model_axis, data_axis), "other": P(data_axis),
-    }
     run = shard_map(
         block, mesh=mesh,
-        in_specs=(specs["x"], specs["train"], specs["held"], specs["other"]),
+        in_specs=(P(data_axis), P(model_axis, data_axis),
+                  P(model_axis, data_axis), P(data_axis), P(data_axis)),
         out_specs=(P(model_axis, None, data_axis),   # accept (F, L, N)
                    P(model_axis, None),              # sens (F, L)
                    P(model_axis, None)),             # spec (F, L)
         check_vma=False)
     accept, sens, spec = jax.jit(run)(
         x, jnp.asarray(train_np), jnp.asarray(held_np),
-        jnp.asarray(other_np))
+        jnp.asarray(other_np), jnp.asarray(valid_np))
 
     spec_mean = jnp.mean(spec, axis=0)
-    held_m = jnp.asarray(held_np)
-    other_m = jnp.asarray(other_np)
+    held_m = jnp.asarray(held_np[:, :n])
+    other_m = jnp.asarray(other_np[:n])
+    accept = accept[:, :, :n]                        # drop padded columns
     own = jnp.einsum("fln,fn->ln", accept.astype(x.dtype),
                      held_m.astype(x.dtype))
     pooled = jnp.where(other_m[None, :], accept[-1], own > 0)

@@ -157,7 +157,7 @@ def test_cv_sweep_2d_mesh_perc_limits(cls_data):
     np.testing.assert_allclose(got["eff"], want["eff"], atol=1e-8)
 
 
-def test_cv_sweep_2d_divisibility_errors(cls_data):
+def test_cv_sweep_2d_divisibility(cls_data):
     from ocm_tpu.parallel.simca_dist import cv_sweep_sharded_2d
 
     y = np.zeros(len(cls_data))
@@ -165,6 +165,10 @@ def test_cv_sweep_2d_divisibility_errors(cls_data):
     mesh2d = make_mesh((4, 2), ("model", "data"))
     with pytest.raises(ValueError):
         cv_sweep_sharded_2d(cls_data, y, 0, [2], mesh2d, n_splits=5)
-    with pytest.raises(ValueError):
-        cv_sweep_sharded_2d(cls_data[:119], y[:119], 0, [2], mesh2d,
-                            n_splits=4)
+    # sample axis auto-pads: uneven N matches the local solve exactly
+    got = cv_sweep_sharded_2d(cls_data[:119], y[:119], 0, [2, 4], mesh2d,
+                              n_splits=4)
+    want = cv_simca_sweep(cls_data[:119], y[:119], 0, [2, 4], n_splits=4)
+    np.testing.assert_allclose(got["spec"], want["spec"], atol=1e-8)
+    np.testing.assert_allclose(got["sens"], want["sens"], atol=1e-8)
+    assert got["pred"].shape == want["pred"].shape
