@@ -89,15 +89,30 @@ class SIMCAScorer(_ChunkedScorer):
 class VAEScorer(_ChunkedScorer):
     """Resident VAE one-class scorer over an OCMBundle.
 
-    ``variant``: 'd2' | 'd2_q' | 'f' | 'full' (SURVEY.md §2.3 variants 2-4).
+    ``variant``: 'd2' | 'd2_q' | 'f' | 'full' (SURVEY.md §2.3 variants 2-4)
+    or 'vaesimca' (variant 5; pass the fitted ``vaesimca_model`` from
+    ocm_tpu.models.vaesimca.fit_vaesimca).
     """
 
     def __init__(self, model: ConvVAE1D, bundle: OCMBundle,
                  variant: str = "d2", loss_type: str = "cosine",
-                 chunk_size: int = 8192, mesh=None):
+                 chunk_size: int = 8192, mesh=None, vaesimca_model=None,
+                 decision_type: str = "alt"):
         from ocm_tpu.models import vae_decision as D
 
-        if variant == "d2":
+        if variant == "vaesimca":
+            if vaesimca_model is None:
+                raise ValueError(
+                    "variant='vaesimca' needs vaesimca_model from "
+                    "ocm_tpu.models.vaesimca.fit_vaesimca")
+            from ocm_tpu.models.vaesimca import predict_vaesimca
+
+            def decide(xc):
+                accept, t2, q = predict_vaesimca(model, bundle,
+                                                 vaesimca_model, xc,
+                                                 decision_type)
+                return {"accept": accept, "t2": t2, "q": q}
+        elif variant == "d2":
             decide = lambda xc: D.decide_d2(model, bundle, xc)._asdict()
         elif variant == "d2_q":
             decide = lambda xc: D.decide_d2_q(model, bundle, xc,
@@ -108,8 +123,8 @@ class VAEScorer(_ChunkedScorer):
             decide = lambda xc: D.decide_full_distance(model, bundle,
                                                        xc)._asdict()
         else:
-            raise ValueError(
-                f"unknown variant {variant!r}; expected d2|d2_q|f|full")
+            raise ValueError(f"unknown variant {variant!r}; expected "
+                             "d2|d2_q|f|full|vaesimca")
         super().__init__(decide, chunk_size, mesh)
 
     @classmethod

@@ -117,3 +117,18 @@ def test_vae_scorer_from_torch_checkpoint(tmp_path, vae_bundle):
     out = scorer.score(rng.normal(0, 1, (50, PARAMS["length"]))
                        .astype(np.float32))
     assert out["accept"].shape == (50,)
+
+def test_vae_scorer_vaesimca_variant(vae_bundle):
+    from ocm_tpu.models.vaesimca import fit_vaesimca, predict_vaesimca
+
+    model, bundle, x = vae_bundle
+    vs = fit_vaesimca(model, bundle, x)
+    scorer = VAEScorer(model, bundle, variant="vaesimca",
+                       vaesimca_model=vs, chunk_size=40)
+    out = scorer.score(x)
+    acc_ref, t2_ref, q_ref = predict_vaesimca(model, bundle, vs,
+                                              jnp.asarray(x))
+    np.testing.assert_array_equal(out["accept"], np.asarray(acc_ref))
+    np.testing.assert_allclose(out["t2"], np.asarray(t2_ref), rtol=1e-5)
+    with pytest.raises(ValueError, match="vaesimca_model"):
+        VAEScorer(model, bundle, variant="vaesimca")
