@@ -129,3 +129,23 @@ def test_report_plots_smoke(tmp_path):
     assert os.path.getsize(p4) > 0
     with pytest.raises(ValueError):
         plot_cv(res, params={"nope": 1})
+
+
+def test_plot_t2q_classes_smoke(tmp_path):
+    mpl = pytest.importorskip("matplotlib")
+    del mpl
+    from ocm_tpu.utils.report import plot_t2q_classes
+
+    rng = np.random.default_rng(1)
+    models = {0: None, 1: None}
+
+    def transform_fn(cls, x):
+        t2red = rng.uniform(0, 2, len(x))
+        qred = rng.uniform(0, 2, len(x))
+        return t2red, qred, float(np.sqrt(2.0))
+
+    x = rng.normal(0, 1, (40, 8))
+    labels = rng.integers(0, 2, 40)
+    path = plot_t2q_classes(models, transform_fn, x, labels,
+                            save_path=str(tmp_path / "panel.png"))
+    assert os.path.getsize(path) > 0
