@@ -3,9 +3,12 @@
 1. ``t2_q_scores_pallas`` — fused SIMCA scoring: for a tile of spectra
    resident in VMEM, one pass computes the centered tile, the score GEMM
    (MXU), and the T^2 / Q reductions (VPU) without writing ANY (N, L) or
-   (N, k) intermediate back to HBM.  HBM traffic is exactly one read of x
-   plus two (N,) vectors out — the speed-of-light minimum for this op.
-   Matches ocm_tpu.ops.linalg.t2_q_scores (the XLA path) to float tolerance.
+   (N, k) intermediate back to HBM.  Matches ocm_tpu.ops.linalg.t2_q_scores
+   (the XLA path) to float tolerance.  Measured on hardware (98k x 500
+   spectra, k=10): XLA's own fusion wins — 2.3 ms vs 3.2 ms for this kernel
+   — so the XLA path stays the default (simca_scores(use_pallas=False));
+   the kernel is kept as the measured baseline showing the compiler already
+   reaches the fused formulation.
 
 2. ``reparam_loss_pallas`` — fused reparameterization + beta-VAE loss terms:
    per tile, draws eps with the on-core PRNG, forms z = mu + eps*exp(.5 lv),
