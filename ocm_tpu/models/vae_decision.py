@@ -84,10 +84,20 @@ def compute_rec_error(x, x_rec, mode: str = "euclidean"):
 
 def fit_thresholds(model: ConvVAE1D, bundle: OCMBundle, x_cal,
                    loss_type: str = "cosine", percentile: float = 95.0,
-                   rng: Optional[jax.Array] = None) -> OCMBundle:
+                   rng: Optional[jax.Array] = None,
+                   x_threshold=None) -> OCMBundle:
     """Best-epoch calibration pass (utils/final_vaesimca.py:402-445 +
     vae_simca_bce.py:395-411): returns a bundle with latent stats and all
-    four thresholds set."""
+    four thresholds set.
+
+    ``x_threshold`` (corrective option the reference lacks): latent
+    statistics always come from ``x_cal``, but the D^2/Q percentile
+    thresholds are taken over these spectra instead — pass held-out
+    same-class objects so thresholds transfer to unseen objects.  With the
+    reference's protocol (thresholds from the training calibration set),
+    the acceptance region shrinks around the training objects as the VAE
+    specializes (see docs/QUALITY.md).
+    """
     x_cal = jnp.asarray(x_cal)
     q_err, mu, x_rec = reconstruction_errors(model, bundle, x_cal, loss_type,
                                              rng=rng)
@@ -96,9 +106,17 @@ def fit_thresholds(model: ConvVAE1D, bundle: OCMBundle, x_cal,
     cov = (muc.T @ muc) / (mu.shape[0] - 1) + 1e-6 * jnp.eye(
         mu.shape[1], dtype=mu.dtype)
     cov_inv = pinv_psd(cov)
-    d2 = jnp.einsum("ij,jk,ik->i", muc, cov_inv, muc)
-    threshold = jnp.percentile(d2, percentile)
-    threshold_q = jnp.percentile(q_err, percentile)
+    if x_threshold is not None:
+        q_thr, mu_thr, _ = reconstruction_errors(
+            model, bundle, jnp.asarray(x_threshold), loss_type, rng=rng)
+        d_thr = mu_thr - latent_mean[None, :]
+        d2 = jnp.einsum("ij,jk,ik->i", d_thr, cov_inv, d_thr)
+        threshold = jnp.percentile(d2, percentile)
+        threshold_q = jnp.percentile(q_thr, percentile)
+    else:
+        d2 = jnp.einsum("ij,jk,ik->i", muc, cov_inv, muc)
+        threshold = jnp.percentile(d2, percentile)
+        threshold_q = jnp.percentile(q_err, percentile)
 
     # q/h/f critical values on the calibration batch (vae_simca_bce.py:395-411)
     res = qhf_batch(standardize(bundle, x_cal),

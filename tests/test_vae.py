@@ -364,3 +364,22 @@ def test_no_batchnorm_variant_trains():
     cfg = TrainConfig(epochs=3, batch_size=64, lr=1e-3, loss_type="bce")
     result = train_vae(model, x_cal, x_val, cfg, jax.random.key(3))
     assert np.all(np.isfinite(np.asarray(result.train_losses)))
+
+
+def test_fit_thresholds_on_heldout(trained):
+    """x_threshold: latent stats from calibration, percentiles from held-out
+    spectra — thresholds widen to cover the held-out distribution."""
+    model, bundle, _, x_cal = trained
+    rng = np.random.default_rng(11)
+    # held-out same-class spectra, slightly shifted amplitude regime
+    x_held = make_data(rng, n=48) * 1.05
+    b_cal = D.fit_thresholds(model, bundle, x_cal, loss_type="euclidean")
+    b_held = D.fit_thresholds(model, bundle, x_cal, loss_type="euclidean",
+                              x_threshold=x_held)
+    # latent stats identical (both from x_cal)
+    np.testing.assert_allclose(np.asarray(b_cal.latent_mean),
+                               np.asarray(b_held.latent_mean), rtol=1e-6)
+    # ~95% of the held-out set falls under its own thresholds
+    dec = D.decide_d2_q(model, b_held, jnp.asarray(x_held),
+                        loss_type="euclidean")
+    assert float(jnp.mean(dec.accept)) > 0.85
