@@ -20,7 +20,7 @@ import numpy as np
 
 def main(store_path=None, target="peanut", loss_type="bce", epochs=60,
          batch_size=128, lr=1e-3, latent_dim=16, out_dir="out/vae_nuts",
-         seed=42):
+         seed=42, threshold_on_val=False):
     import jax.numpy as jnp
 
     from ocm_tpu.models import vae_decision as D
@@ -50,8 +50,11 @@ def main(store_path=None, target="peanut", loss_type="bce", epochs=60,
     cfg = TrainConfig(epochs=epochs, batch_size=batch_size, lr=lr,
                       loss_type=loss_type)
     result = train_vae(model, res.x_cal, res.x_val, cfg, jax.random.key(seed))
-    bundle = D.fit_thresholds(model, result.bundle, res.x_cal,
-                              loss_type=loss_type)
+    bundle = D.fit_thresholds(
+        model, result.bundle, res.x_cal, loss_type=loss_type,
+        # corrective option: percentile thresholds from held-out objects so
+        # they transfer to unseen objects (docs/QUALITY.md)
+        x_threshold=res.x_val if threshold_on_val else None)
 
     x_ts = jnp.asarray(res.x_test)
     dec_f = D.decide_f(model, bundle, x_ts)
@@ -87,4 +90,5 @@ if __name__ == "__main__":
     p.add_argument("--latent-dim", type=int, default=16)
     p.add_argument("--out-dir", default="out/vae_nuts")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--threshold-on-val", action="store_true")
     main(**vars(p.parse_args()))
