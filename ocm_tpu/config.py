@@ -42,11 +42,26 @@ def stats_dtype() -> jnp.dtype:
 
 @dataclasses.dataclass(frozen=True)
 class CompatFlags:
-    """Reference-behavior compatibility switches.
+    """Registry of the reference-behavior compatibility switches.
 
-    Each flag reproduces a documented quirk of TEAM-AIOLY/OCM-VAE-SIMCA
+    Each flag names a documented quirk of TEAM-AIOLY/OCM-VAE-SIMCA
     (SURVEY.md section 2.4).  Defaults reproduce the reference so decisions
-    match to numerical tolerance; set to False for the corrected behavior.
+    match to numerical tolerance; the corrected behavior is one argument
+    away.  The OPERATIONAL switches live on the functions themselves —
+    this object documents the mapping:
+
+    - ``batch_qhf_stats``      -> ``vae_decision.decide_f(calibration=...)``
+                                  / ``stats.qhf.qhf_fit``+``qhf_calibrated``
+    - ``testset_f_moments``    -> ``vae_decision.decide_full_distance(
+                                  moments=...)``
+    - ``vaesimca_percentile_limits`` -> reproduced unconditionally inside
+                                  ``models.vaesimca`` (quirk Q5; the
+                                  classical engines in ``stats.limits`` are
+                                  the corrected forms); the related Q11
+                                  round-trip quirk is
+                                  ``VAESIMCA(compat_double_standardize=...)``
+    (see also ``SIMCA(compat_dd_shared_state=...)`` for quirk Q7 and
+    docs/PARITY.md for the full quirk table).
 
     - ``batch_qhf_stats``: ``compute_q_h_f`` derives its moment-matched dofs
       and critical values from the batch being scored (reference
