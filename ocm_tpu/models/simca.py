@@ -455,10 +455,30 @@ class SIMCA:
         self._check_fitted()
         X = jnp.asarray(X)
         predictions = np.zeros((X.shape[0], len(self.model_class)))
+
+        # uniform component counts: ALL classes score in ONE vmapped
+        # dispatch (the reference loops classes on the host,
+        # utils/SIMCA.py:124; per-class dispatches cost a full host round
+        # trip each on remote accelerators)
+        models = [self._dd_limits(self._model[cls])
+                  for cls in self.model_class]
+        if len(models) > 1 and len(set(self._n_components_per_class)) == 1:
+            # strip the per-class-sized training statistics (unused by
+            # decide) so the model cores stack into one batched pytree
+            zero = jnp.zeros(())
+            strip = lambda m: m._replace(t2_train=zero, q_train=zero,
+                                         eigenvalues=zero,
+                                         n_samples=jnp.asarray(0))
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                   *[strip(m) for m in models])
+            accept_all, _, _, _ = predict_classes(stacked, X, self.type)
+            predictions[:] = np.asarray(accept_all).T
+        else:
+            for i, model in enumerate(models):
+                accept, _, _, _ = simca_decide(model, X, self.type)
+                predictions[:, i] = np.asarray(accept)
+
         for i, cls in enumerate(self.model_class):
-            model = self._dd_limits(self._model[cls])
-            accept, _, _, _ = simca_decide(model, X, self.type)
-            predictions[:, i] = np.asarray(accept)
             if y_true is not None:
                 m = conformity_metrics(jnp.asarray(y_true),
                                        jnp.asarray(predictions[:, i]), cls)

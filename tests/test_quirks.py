@@ -180,3 +180,33 @@ def test_fit_validation_errors(three_class):
     with pytest.raises(ValueError, match="length"):
         SIMCA(n_components=[2, 3], model_class=[0, 1, 2],
               verbose=False).fit(x, y)
+
+
+def test_multiclass_predict_batched_matches_loop(three_class):
+    """Uniform-k multi-class predict batches all classes into one dispatch;
+    results must equal the per-class loop (incl. the dd quirk path)."""
+    x, y = three_class
+    for dt in ("alt", "dd"):
+        m = SIMCA(n_components=4, model_class=[0, 1, 2], type=dt,
+                  verbose=False)
+        m.fit(x, y)
+        pred_batched = m.predict(x)
+        # force the loop path via per-class (equal) component list
+        m2 = SIMCA(n_components=[4, 4, 3], model_class=[0, 1, 2], type=dt,
+                   verbose=False)
+        m2.fit(x, y)
+        # compare first two classes against individually-fitted singles
+        for i, cls in enumerate([0, 1, 2]):
+            single = SIMCA(n_components=4, model_class=cls, type=dt,
+                           verbose=False)
+            single.fit(x, y)
+            sm = single._model[cls]
+            if dt == "dd":
+                # quirk Q7: multi-class dd uses the LAST class's limits
+                sm = sm._replace(t2_res=m._model[2].t2_res,
+                                 q_res=m._model[2].q_res,
+                                 d_limit=m._model[2].d_limit)
+            from ocm_tpu.models.simca import simca_decide
+            acc, _, _, _ = simca_decide(sm, jnp.asarray(x), dt)
+            np.testing.assert_array_equal(pred_batched[:, i],
+                                          np.asarray(acc))
