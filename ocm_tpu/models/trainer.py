@@ -47,6 +47,11 @@ class TrainConfig:
     weight_decay: float = 0.0
     beta: float = 1.0
     loss_type: str = "cosine"   # cosine | bce | euclidean | bce_prob
+    # validation cadence: 1 = every epoch (the reference protocol,
+    # utils/final_vaesimca.py:380); k > 1 skips k-1 of every k validation
+    # passes (production knob; best-checkpoint tracking then only sees the
+    # validated epochs, and skipped epochs report +inf val loss)
+    val_every: int = 1
 
 
 class TrainResult(NamedTuple):
@@ -212,8 +217,16 @@ def _train_loop(model: ConvVAE1D, cfg: TrainConfig, batch_size: int,
             step_body, (params, batch_stats, opt_state),
             jnp.arange(idx.shape[0]))
         train_loss = jnp.mean(losses)
-        val_loss = eval_fn(params, batch_stats, xv_std,
-                           jax.random.fold_in(ep_rng, 1 + idx.shape[0]))
+        if cfg.val_every > 1:
+            val_loss = jax.lax.cond(
+                (epoch + epoch_offset + 1) % cfg.val_every == 0,
+                lambda: eval_fn(params, batch_stats, xv_std,
+                                jax.random.fold_in(ep_rng,
+                                                   1 + idx.shape[0])),
+                lambda: jnp.asarray(jnp.inf, xc_std.dtype))
+        else:
+            val_loss = eval_fn(params, batch_stats, xv_std,
+                               jax.random.fold_in(ep_rng, 1 + idx.shape[0]))
 
         best_val, best_params, best_bs, best_epoch = best
         is_best = val_loss < best_val

@@ -45,3 +45,22 @@ def test_resume_equals_continuous_run():
                                    atol=1e-7)
     # global best epoch is offset-adjusted
     assert 0 <= int(part2.best_epoch) < 8
+
+
+def test_val_every_skips_validation():
+    rng = np.random.default_rng(1)
+    x_cal, x_val = make_data(rng), make_data(rng, 24)
+    model = ConvVAE1D(input_length=48, latent_dim=4, conv_blocks=2,
+                      n_filters=8, hidden_fc=32)
+    r = train_vae(model, x_cal, x_val,
+                  TrainConfig(epochs=6, batch_size=32, loss_type="euclidean",
+                              val_every=3), jax.random.key(0))
+    vl = np.asarray(r.val_losses)
+    assert np.isinf(vl[[0, 1, 3, 4]]).all()      # skipped epochs
+    assert np.isfinite(vl[[2, 5]]).all()         # validated epochs
+    assert int(r.best_epoch) in (2, 5)
+    # default cadence unchanged: every epoch finite
+    r1 = train_vae(model, x_cal, x_val,
+                   TrainConfig(epochs=3, batch_size=32,
+                               loss_type="euclidean"), jax.random.key(0))
+    assert np.isfinite(np.asarray(r1.val_losses)).all()
