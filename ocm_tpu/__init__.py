@@ -24,4 +24,19 @@ __version__ = "0.1.0"
 
 from ocm_tpu import config as config
 
-__all__ = ["config", "__version__"]
+_SUBPACKAGES = ("models", "ops", "stats", "parallel", "utils", "serving")
+
+
+def __getattr__(name):
+    # lazy subpackage access (keeps `import ocm_tpu` light; flax/optax only
+    # load when the VAE stack is touched)
+    if name in _SUBPACKAGES:
+        import importlib
+
+        module = importlib.import_module(f"ocm_tpu.{name}")
+        globals()[name] = module
+        return module
+    raise AttributeError(f"module 'ocm_tpu' has no attribute {name!r}")
+
+
+__all__ = ["config", "__version__", *_SUBPACKAGES]

@@ -434,22 +434,21 @@ class SIMCA:
         return model
 
     def transform(self, X):
-        """Quirk Q1 (utils/SIMCA.py:101-117): loops classes, returns the
-        last class's (T2, T2red, Q, Qred)."""
+        """Quirk Q1 (utils/SIMCA.py:101-117): the reference loops all
+        classes but returns only the LAST class's (T2, T2red, Q, Qred) —
+        semantically equivalent to scoring just the last class, which is
+        what happens here (the discarded per-class work is not repeated)."""
         self._check_fitted()
         X = jnp.asarray(X)
-        out = None
-        for cls in self.model_class:
-            model = self._dd_limits(self._model[cls])
-            t2, q = simca_scores(model, X)
-            if self.type == "dd":
-                t2red = model.t2_res.dof * t2 / model.t2_res.scale
-                qred = model.q_res.dof * q / model.q_res.scale
-            else:
-                t2red = t2 / model.t2_res.limit
-                qred = q / model.q_res.limit
-            out = (t2, t2red, q, qred)
-        return out
+        model = self._dd_limits(self._model[self.model_class[-1]])
+        t2, q = simca_scores(model, X)
+        if self.type == "dd":
+            t2red = model.t2_res.dof * t2 / model.t2_res.scale
+            qred = model.q_res.dof * q / model.q_res.scale
+        else:
+            t2red = t2 / model.t2_res.limit
+            qred = q / model.q_res.limit
+        return (t2, t2red, q, qred)
 
     def predict(self, X, y_true=None):
         self._check_fitted()

@@ -137,9 +137,18 @@ def fit_vaesimca(model: ConvVAE1D, bundle: OCMBundle, x_cal,
                  decision_type: str = "alt", t2lim: str = "Fdist",
                  t2cl: float = 0.95, qlim: str = "jm", qcl: float = 0.95,
                  dcl: float = 0.95,
-                 compat_double_standardize: bool = True) -> VAESIMCAModel:
+                 compat_double_standardize: bool = True,
+                 classical_limits: bool = False) -> VAESIMCAModel:
     """Fit latent-SIMCA thresholds on the calibration set
-    (VAE_SIMCA.py:230-279)."""
+    (VAE_SIMCA.py:230-279).
+
+    ``classical_limits=True`` is the CORRECTED quirk-Q5 mode: the T2/Q
+    limits come from the classical chemometric engines
+    (ocm_tpu.stats.limits — true F/chi2 quantiles and chi2-based combined
+    distances) instead of the reference's percentile-scaled formulas.
+    'jm' stays the Q-value-moment variant in both modes (latent residuals
+    have no eigenvalue spectrum to take theta moments of).
+    """
     from ocm_tpu.models.bundle import encode
 
     x_cal = jnp.asarray(x_cal)
@@ -150,8 +159,23 @@ def fit_vaesimca(model: ConvVAE1D, bundle: OCMBundle, x_cal,
     cov = (muc.T @ muc) / (mu.shape[0] - 1) + 1e-12 * jnp.eye(k, dtype=mu.dtype)
     invcovT = pinv_psd(cov)
     t2 = jnp.einsum("ij,jk,ik->i", muc, invcovT, muc)
-    t2_limit, t2_dof, t2_scale = _t2_limit(t2, k, t2lim, t2cl)
     q = _latent_roundtrip_q(model, bundle, mu, compat_double_standardize)
+    if classical_limits:
+        from ocm_tpu.stats import limits as L
+
+        t2_res = L.t2_limit(t2, k, t2lim, t2cl)
+        if qlim == "jm":
+            q_limit, q_dof, q_scale = _q_limit(q, qlim, qcl)
+            q_res = L.LimitResult(q_limit, q_dof, q_scale)
+        else:
+            q_res = L.q_limit(q, qlim, qcl)
+        d_limit = L.critical_distance(
+            decision_type, t2_res, q_res, n_components=k,
+            thetas=(jnp.sum(q), jnp.sum(q * q), jnp.sum(q ** 3)), dcl=dcl)
+        return VAESIMCAModel(latent_mean, invcovT, t2_res.limit,
+                             q_res.limit, d_limit, t2_res.dof, t2_res.scale,
+                             q_res.dof, q_res.scale, jnp.asarray(k))
+    t2_limit, t2_dof, t2_scale = _t2_limit(t2, k, t2lim, t2cl)
     q_limit, q_dof, q_scale = _q_limit(q, qlim, qcl)
     d_limit = _d_limit(decision_type, t2_limit, q_limit, t2, q, k,
                        t2_dof, q_dof, dcl)

@@ -210,3 +210,30 @@ def test_multiclass_predict_batched_matches_loop(three_class):
             acc, _, _, _ = simca_decide(sm, jnp.asarray(x), dt)
             np.testing.assert_array_equal(pred_batched[:, i],
                                           np.asarray(acc))
+
+
+def test_vaesimca_classical_limits_mode(three_class, rng):
+    """classical_limits=True uses the true F/chi2 engines — limits differ
+    from the quirk-Q5 percentile formulas but decisions stay sane."""
+    import jax as _jax
+
+    from ocm_tpu.models.bundle import new_bundle
+    from ocm_tpu.models.vae import ConvVAE1D, init_vae
+    from ocm_tpu.models.vaesimca import fit_vaesimca, predict_vaesimca
+
+    x, y = three_class
+    x_cal = x[y == 0].astype(np.float32)
+    model = ConvVAE1D(input_length=x.shape[1], latent_dim=4, conv_blocks=2,
+                      n_filters=8, hidden_fc=16)
+    params, bs = init_vae(model, _jax.random.key(0))
+    mean = x_cal.mean(axis=0).astype(np.float32)
+    std = (x_cal.std(axis=0) + 1e-12).astype(np.float32)
+    bundle = new_bundle(params, bs, jnp.asarray(mean), jnp.asarray(std), 4)
+
+    compat = fit_vaesimca(model, bundle, x_cal)
+    fixed = fit_vaesimca(model, bundle, x_cal, classical_limits=True)
+    assert float(compat.t2_limit) != pytest.approx(float(fixed.t2_limit),
+                                                   rel=1e-3)
+    acc, t2, q = predict_vaesimca(model, bundle, fixed, x.astype(np.float32))
+    assert np.isfinite(np.asarray(t2)).all()
+    assert acc.shape == (x.shape[0],)
