@@ -103,6 +103,12 @@ def run_vae_sweep(configs: Sequence[Mapping], x_cal, x_val, x_test, y_test,
         bundle = fit_thresholds(model, result.bundle, x_cal,
                                 loss_type=tcfg.loss_type)
         save_json(dict(cfg_dict), run_dir, "params.json")
+        from ocm_tpu.models.bundle import save_bundle
+
+        # each run dir carries its deployable model, mirroring the
+        # reference's per-run best-checkpoint save
+        # (utils/final_vaesimca.py:445)
+        save_bundle(os.path.join(run_dir, "model_bundle.msgpack"), bundle)
         save_json({"train_losses": np.asarray(result.train_losses),
                    "val_losses": np.asarray(result.val_losses),
                    "best_epoch": int(result.best_epoch)},
