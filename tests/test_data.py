@@ -196,3 +196,31 @@ def test_json_artifacts_roundtrip(tmp_path):
     assert back["epochs"] == 10
     assert back["losses"] == [0.0, 1.0, 2.0]
     assert back["nested"]["a"] == [1.5]
+
+
+def test_load_cheese_mat_roundtrip(tmp_path, rng):
+    """The loader parses the reference's Xtr/Xts struct schema
+    (data_cheese.py:22-45): 'data' matrices + 1-based 'class' vectors."""
+    scipy_io = pytest.importorskip("scipy.io")
+
+    from ocm_tpu.utils.io import cheese_wavelengths, load_cheese_mat
+
+    x_tr = rng.normal(0, 1, (30, 20))
+    y_tr = rng.integers(1, 6, 30)          # MATLAB-style 1-based labels
+    x_ts = rng.normal(0, 1, (12, 20))
+    y_ts = rng.integers(1, 6, 12)
+
+    def struct(x, y):
+        # MATLAB struct array: object-dtype record with nested cell layout
+        return {"data": x, "class": np.array([[y]], dtype=object)}
+
+    path = str(tmp_path / "IR_ML.mat")
+    scipy_io.savemat(path, {"Xtr": struct(x_tr, y_tr),
+                            "Xts": struct(x_ts, y_ts)})
+    a, b, c, d = load_cheese_mat(path)
+    np.testing.assert_allclose(a, x_tr)
+    np.testing.assert_array_equal(b, y_tr - 1)   # shifted to 0-based
+    np.testing.assert_allclose(c, x_ts)
+    np.testing.assert_array_equal(d, y_ts - 1)
+    wv = cheese_wavelengths(20)
+    assert wv[0] == 2500.0 and wv[-1] == 4000.0
