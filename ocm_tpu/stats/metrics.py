@@ -66,7 +66,9 @@ def vae_binary_metrics(pred_labels, labels_true, n_true_classes: int) -> BinaryM
     conf = jnp.zeros((2, n_true_classes), dtype=jnp.int32)
     for i, p in enumerate((0, 1)):
         for j in range(n_true_classes):
-            conf = conf.at[i, j].set(jnp.sum((pred == p) & (labels_true == j)))
+            conf = conf.at[i, j].set(
+                jnp.sum((pred == p) & (labels_true == j),
+                        dtype=jnp.int32))
     tp = conf[0, 0]
     fn = conf[1, 0]
     fp = jnp.sum(conf[0, 1:])
