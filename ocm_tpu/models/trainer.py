@@ -52,6 +52,13 @@ class TrainConfig:
     # passes (production knob; best-checkpoint tracking then only sees the
     # validated epochs, and skipped epochs report +inf val loss)
     val_every: int = 1
+    # loss comparison space: 'std' compares standardized spectra (one fused
+    # standardization up front — the TPU-friendly default); 'raw' rescales
+    # the reconstruction back to raw spectral space first, which is the
+    # reference's exact objective (vae_model.py:128 + the losses on raw x)
+    # — cosine/BCE losses are NOT invariant to the per-wavelength affine
+    # map, so use 'raw' for objective-level parity
+    loss_space: str = "std"
 
 
 class TrainResult(NamedTuple):
@@ -84,8 +91,20 @@ def _batch_indices(rng, n: int, batch_size: int):
     return filled.reshape(steps, batch_size)
 
 
-def make_train_step(model: ConvVAE1D, tx, cfg: TrainConfig):
-    """One jitted optimizer step over a standardized minibatch."""
+def _loss_pair(cfg: TrainConfig, xb_std, x_rec_std, spec):
+    """(target, reconstruction) in the configured loss space; ``spec`` is
+    (mean, std) or None when loss_space == 'std'."""
+    if cfg.loss_space == "raw" and spec is not None:
+        mean, std = spec
+        return xb_std * std + mean, x_rec_std * std + mean
+    return xb_std, x_rec_std
+
+
+def make_train_step(model: ConvVAE1D, tx, cfg: TrainConfig, spec=None):
+    """One jitted optimizer step over a standardized minibatch.
+
+    ``spec=(mean, std)`` enables the 'raw' loss space (the reference's exact
+    objective — losses on unstandardized spectra, vae_model.py:123-129)."""
 
     def step(params, batch_stats, opt_state, xb_std, rng):
         r1, r2 = jax.random.split(rng)
@@ -99,7 +118,8 @@ def make_train_step(model: ConvVAE1D, tx, cfg: TrainConfig):
                 rngs={"reparam": r1, "dropout": r2},
                 mutable=["batch_stats"] if batch_stats else [])
             x_rec, mu, logvar = out
-            total, recon, kl = beta_vae_loss(xb_std, x_rec, mu, logvar,
+            x_cmp, r_cmp = _loss_pair(cfg, xb_std, x_rec, spec)
+            total, recon, kl = beta_vae_loss(x_cmp, r_cmp, mu, logvar,
                                              beta=cfg.beta,
                                              loss_type=cfg.loss_type)
             new_bs = mutated.get("batch_stats", batch_stats) if batch_stats else batch_stats
@@ -114,7 +134,7 @@ def make_train_step(model: ConvVAE1D, tx, cfg: TrainConfig):
     return step
 
 
-def make_eval_loss(model: ConvVAE1D, cfg: TrainConfig):
+def make_eval_loss(model: ConvVAE1D, cfg: TrainConfig, spec=None):
     """Validation loss over a full standardized set (stochastic forward, as
     the reference's eval-mode forward still samples z;
     utils/final_vaesimca.py:380-393)."""
@@ -125,7 +145,8 @@ def make_eval_loss(model: ConvVAE1D, cfg: TrainConfig):
             variables["batch_stats"] = batch_stats
         x_rec, mu, logvar = model.apply(variables, x_std, train=False,
                                         rngs={"reparam": rng})
-        total, _, _ = beta_vae_loss(x_std, x_rec, mu, logvar, beta=cfg.beta,
+        x_cmp, r_cmp = _loss_pair(cfg, x_std, x_rec, spec)
+        total, _, _ = beta_vae_loss(x_cmp, r_cmp, mu, logvar, beta=cfg.beta,
                                     loss_type=cfg.loss_type)
         return total
 
@@ -177,8 +198,8 @@ def train_vae(model: ConvVAE1D, x_cal, x_val, cfg: TrainConfig,
     batch_size = min(cfg.batch_size, x_cal.shape[0])
     (f_params, f_bs, f_opt, best_params, best_bs, best_epoch,
      train_losses, val_losses) = _train_loop(
-        model, cfg, batch_size, epoch_offset, xc_std, xv_std, params,
-        batch_stats, opt_state, train_rng)
+        model, cfg, batch_size, epoch_offset, xc_std, xv_std, mean, std,
+        params, batch_stats, opt_state, train_rng)
 
     bundle = new_bundle(best_params, best_bs, mean, std, model.latent_dim)
     return TrainResult(bundle, train_losses, val_losses,
@@ -188,8 +209,8 @@ def train_vae(model: ConvVAE1D, x_cal, x_val, cfg: TrainConfig,
 @functools.partial(
     jax.jit, static_argnames=("model", "cfg", "batch_size", "epoch_offset"))
 def _train_loop(model: ConvVAE1D, cfg: TrainConfig, batch_size: int,
-                epoch_offset: int, xc_std, xv_std, params, batch_stats,
-                opt_state, train_rng):
+                epoch_offset: int, xc_std, xv_std, mean, std, params,
+                batch_stats, opt_state, train_rng):
     """The whole multi-epoch loop as ONE cached compiled program.
 
     Module-level jit keyed on (model, cfg, batch_size, epoch_offset) and the
@@ -197,8 +218,9 @@ def _train_loop(model: ConvVAE1D, cfg: TrainConfig, batch_size: int,
     compile cache instead of re-tracing a per-call closure.
     """
     tx = torch_adam(cfg.lr, cfg.weight_decay)
-    step_fn = make_train_step(model, tx, cfg)
-    eval_fn = make_eval_loss(model, cfg)
+    spec = (mean, std) if cfg.loss_space == "raw" else None
+    step_fn = make_train_step(model, tx, cfg, spec=spec)
+    eval_fn = make_eval_loss(model, cfg, spec=spec)
     n = xc_std.shape[0]
 
     def epoch_body(carry, epoch):

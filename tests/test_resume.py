@@ -64,3 +64,24 @@ def test_val_every_skips_validation():
                    TrainConfig(epochs=3, batch_size=32,
                                loss_type="euclidean"), jax.random.key(0))
     assert np.isfinite(np.asarray(r1.val_losses)).all()
+
+
+def test_loss_space_raw_differs_and_trains():
+    """'raw' loss space (the reference's exact objective) produces different
+    cosine losses than standardized space and still trains."""
+    rng = np.random.default_rng(2)
+    # non-trivial per-wavelength scale so the affine map matters
+    x_cal = make_data(rng) * np.linspace(0.5, 3.0, 48) + 2.0
+    x_val = make_data(rng, 24) * np.linspace(0.5, 3.0, 48) + 2.0
+    model = ConvVAE1D(input_length=48, latent_dim=4, conv_blocks=2,
+                      n_filters=8, hidden_fc=32)
+    key = jax.random.key(7)
+    r_std = train_vae(model, x_cal, x_val,
+                      TrainConfig(epochs=3, batch_size=32,
+                                  loss_type="cosine"), key)
+    r_raw = train_vae(model, x_cal, x_val,
+                      TrainConfig(epochs=3, batch_size=32,
+                                  loss_type="cosine", loss_space="raw"), key)
+    assert np.all(np.isfinite(np.asarray(r_raw.train_losses)))
+    assert not np.allclose(np.asarray(r_std.train_losses),
+                           np.asarray(r_raw.train_losses), rtol=1e-3)
