@@ -224,3 +224,27 @@ def test_load_cheese_mat_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(d, y_ts - 1)
     wv = cheese_wavelengths(20)
     assert wv[0] == 2500.0 and wv[-1] == 4000.0
+
+
+def test_read_object_store_classes_filter(tmp_path):
+    pytest.importorskip("h5py")
+    cube = np.zeros((10, 10, 4), dtype=np.float32)
+    cube[2:5, 2:5, :] = 1.0
+    objs = extract_objects(cube, 0.5)
+    path = str(tmp_path / "s.h5")
+    write_object_store(path, {"a": [objs], "b": [objs]})
+    only_b = read_object_store(path, classes=["b"])
+    assert set(only_b) == {"b"}
+    assert only_b["b"][0]["nut_type"] == "b"
+
+
+def test_write_object_store_uncompressed(tmp_path):
+    pytest.importorskip("h5py")
+    cube = np.zeros((8, 8, 3), dtype=np.float32)
+    cube[1:3, 1:3, :] = 2.0
+    objs = extract_objects(cube, 0.5)
+    path = str(tmp_path / "u.h5")
+    write_object_store(path, {"a": [objs]}, compression=None)
+    back = read_object_store(path)
+    np.testing.assert_allclose(back["a"][0]["spectral_data"],
+                               objs[0]["spectral_data"])

@@ -49,3 +49,33 @@ def test_minmax_scale_matches_reference(spectra):
     want = np.clip((spectra - x_min) / (x_max - x_min + eps), 0.0, 1.0)
     got = np.asarray(preprocess.minmax_scale(jnp.asarray(spectra)))
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_standardize_and_minmax(rng):
+    import jax.numpy as jnp
+
+    from ocm_tpu.ops.preprocess import minmax_scale, standardize
+
+    x = jnp.asarray(rng.normal(2.0, 3.0, (10, 20)))
+    mean = jnp.mean(x, axis=0)
+    std = jnp.std(x, axis=0)
+    z = standardize(x, mean, std)
+    np.testing.assert_allclose(np.asarray(jnp.mean(z, axis=0)), 0.0,
+                               atol=1e-12)
+    m = minmax_scale(x)
+    assert float(jnp.min(m)) >= 0.0 and float(jnp.max(m)) <= 1.0
+    # constant row stays finite (eps guard, vae_model.py:149-151)
+    const = jnp.ones((1, 20)) * 5.0
+    mc = minmax_scale(const)
+    assert np.isfinite(np.asarray(mc)).all()
+
+
+def test_savgol_window_exceeds_length_raises():
+    import jax.numpy as jnp
+
+    from ocm_tpu.ops.preprocess import savgol_filter
+
+    with pytest.raises(ValueError):
+        savgol_filter(jnp.ones((2, 10)), 15, 2, 1)
+    with pytest.raises(ValueError):
+        savgol_filter(jnp.ones((2, 30)), 5, 7, 1)   # polyorder >= window
