@@ -219,3 +219,33 @@ def test_reference_checkpoint_roundtrip():
                 / np.asarray(bundle.spec_std))
     np.testing.assert_allclose(xr_o_std, xr_r.numpy(), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_cv_grid_matches_reference_shuffled(ref, dataset):
+    """Shuffled, seeded class-wise folds + a non-default method combo."""
+    from ocm_tpu.models.cv import (
+        ClasswiseKFoldWithExternalVal as OurCV,
+        cross_validate_simca_grid as our_grid)
+    from ocm_tpu.models.simca import SIMCA as OurSIMCA
+
+    x, y, _, _ = dataset
+    their_cv = ref.ClasswiseKFoldWithExternalVal(n_splits=4, cls_label=0,
+                                                 shuffle=True,
+                                                 random_state=7)
+    their_est = ref.SIMCA(model_class=0, type="sim", t2lim="chi2",
+                          qlim="chi2box", verbose=False)
+    res_ref = ref.cross_validate_simca_grid(
+        their_est, x, y, their_cv, LV_min=3, LV_max=5, param_grid={},
+        class_index=0, print_summary=False)
+
+    our_cv = OurCV(n_splits=4, cls_label=0, shuffle=True, random_state=7)
+    our_est = OurSIMCA(model_class=0, type="sim", t2lim="chi2",
+                       qlim="chi2box", verbose=False)
+    res_our = our_grid(our_est, x, y, our_cv, LV_min=3, LV_max=5,
+                       class_index=0, print_summary=False)
+
+    for a, b in zip(res_our["results"], res_ref["results"]):
+        assert a["LV"] == b["LV"]
+        np.testing.assert_allclose(a["spec"], b["spec"], atol=1e-8)
+        np.testing.assert_allclose(a["sens"], b["sens"], atol=1e-8)
+    assert res_our["best_LV"] == res_ref["best_LV"]
