@@ -426,11 +426,14 @@ class SIMCA:
                 "before predict/transform/score.")
 
     def _dd_limits(self, model: SIMCAModel):
-        """Quirk Q7: 'dd' pooled-dof state is shared from the LAST class."""
+        """Quirk Q7 (utils/SIMCA.py:141-144): 'dd' reduced distances use the
+        LAST-fitted class's pooled dofs/scales (instance-level state), while
+        the comparison threshold stays each class's OWN D_limit — the mixed
+        state the reference exhibits.  compat_dd_shared_state=False uses
+        each class's own dofs throughout."""
         if self.type == "dd" and self.compat_dd_shared_state:
             last = self._model[self.model_class[-1]]
-            return model._replace(t2_res=last.t2_res, q_res=last.q_res,
-                                  d_limit=last.d_limit)
+            return model._replace(t2_res=last.t2_res, q_res=last.q_res)
         return model
 
     def transform(self, X):

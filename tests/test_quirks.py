@@ -50,14 +50,17 @@ def test_q7_dd_shared_state(three_class):
     fixed = SIMCA(n_components=4, model_class=[0, 1, 2], type="dd",
                   verbose=False, compat_dd_shared_state=False)
     fixed.fit(x, y)
-    # compat: class-0 decisions computed with class-2 dofs
+    # compat: class-0 reduced distances use class-2 dofs/scales, but the
+    # threshold stays class-0's OWN D_limit (the reference's mixed state,
+    # utils/SIMCA.py:141-144)
     m0 = compat._dd_limits(compat._model[0])
-    assert float(m0.d_limit) == float(compat._model[2].d_limit)
+    assert float(m0.t2_res.dof) == float(compat._model[2].t2_res.dof)
+    assert float(m0.d_limit) == float(compat._model[0].d_limit)
     m0f = fixed._dd_limits(fixed._model[0])
-    assert float(m0f.d_limit) == float(fixed._model[0].d_limit)
-    # the shared state genuinely changes class-0 predictions here
-    assert float(compat._model[0].d_limit) != pytest.approx(
-        float(compat._model[2].d_limit))
+    assert float(m0f.t2_res.dof) == float(fixed._model[0].t2_res.dof)
+    # the shared state genuinely differs across classes here
+    assert float(compat._model[0].t2_res.dof) != pytest.approx(
+        float(compat._model[2].t2_res.dof))
 
 
 def test_q8_confusion_row_orders(three_class):
@@ -202,10 +205,10 @@ def test_multiclass_predict_batched_matches_loop(three_class):
             single.fit(x, y)
             sm = single._model[cls]
             if dt == "dd":
-                # quirk Q7: multi-class dd uses the LAST class's limits
+                # quirk Q7: multi-class dd uses the LAST class's dofs but
+                # each class's own D_limit
                 sm = sm._replace(t2_res=m._model[2].t2_res,
-                                 q_res=m._model[2].q_res,
-                                 d_limit=m._model[2].d_limit)
+                                 q_res=m._model[2].q_res)
             from ocm_tpu.models.simca import simca_decide
             acc, _, _, _ = simca_decide(sm, jnp.asarray(x), dt)
             np.testing.assert_array_equal(pred_batched[:, i],

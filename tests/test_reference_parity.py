@@ -249,3 +249,26 @@ def test_cv_grid_matches_reference_shuffled(ref, dataset):
         np.testing.assert_allclose(a["spec"], b["spec"], atol=1e-8)
         np.testing.assert_allclose(a["sens"], b["sens"], atol=1e-8)
     assert res_our["best_LV"] == res_ref["best_LV"]
+
+
+@pytest.mark.parametrize("dtype_", ["alt", "dd"])
+def test_multiclass_predict_matches_reference(ref, dataset, dtype_):
+    """The batched multi-class predict (and the quirk-Q7 shared 'dd' state)
+    reproduce the reference's per-class loop exactly."""
+    from ocm_tpu.models.simca import SIMCA as OurSIMCA
+
+    x, y, xt, yt = dataset
+    theirs = ref.SIMCA(n_components=5, model_class=[0, 1, 2], type=dtype_,
+                       verbose=False)
+    theirs.fit(x, y)
+    pred_ref = np.asarray(theirs.predict(xt, y_true=yt))
+
+    ours = OurSIMCA(n_components=5, model_class=[0, 1, 2], type=dtype_,
+                    verbose=False)
+    ours.fit(x, y)
+    pred_our = np.asarray(ours.predict(xt, y_true=yt))
+    np.testing.assert_array_equal(pred_our, pred_ref)
+    for cls in (0, 1, 2):
+        for key in ("sensitivity", "specificity"):
+            np.testing.assert_allclose(ours.metrics[cls][key],
+                                       theirs.metrics[cls][key], rtol=1e-9)
