@@ -272,3 +272,21 @@ def test_multiclass_predict_matches_reference(ref, dataset, dtype_):
         for key in ("sensitivity", "specificity"):
             np.testing.assert_allclose(ours.metrics[cls][key],
                                        theirs.metrics[cls][key], rtol=1e-9)
+
+
+def test_dd_transform_matches_reference(ref, dataset):
+    """'dd' transform: instance-level dofs scale the last class's scores
+    (utils/SIMCA.py:108-111)."""
+    from ocm_tpu.models.simca import SIMCA as OurSIMCA
+
+    x, y, xt, _ = dataset
+    theirs = ref.SIMCA(n_components=5, model_class=[0, 1, 2], type="dd",
+                       verbose=False)
+    theirs.fit(x, y)
+    _, t2red_r, _, qred_r = theirs.transform(xt)
+    ours = OurSIMCA(n_components=5, model_class=[0, 1, 2], type="dd",
+                    verbose=False)
+    ours.fit(x, y)
+    _, t2red_o, _, qred_o = (np.asarray(a) for a in ours.transform(xt))
+    np.testing.assert_allclose(t2red_o, np.ravel(t2red_r), rtol=1e-7)
+    np.testing.assert_allclose(qred_o, np.ravel(qred_r), rtol=1e-7)
