@@ -149,12 +149,14 @@ def test_wrapper_dd_coercion_and_shared_state(rng, capsys):
     assert est.t2lim == "chi2pom" and est.qlim == "chi2pom"
 
     pred_compat = est.predict(x)
-    # compat: class-0 decisions computed with class-1's dofs/scales
+    # compat (the reference's exact mixed state, utils/SIMCA.py:141-144):
+    # class-0 reduced distances use class-1's dofs/scales, but the
+    # threshold stays class-0's OWN D_limit
     o1 = SimcaOracle("dd").fit(x1, 4)
     o0 = SimcaOracle("dd").fit(x0, 4)
     t2_0, q_0 = o0.scores(x)
     dred = o1.t2dof * t2_0 / o1.t2scale + o1.qdof * q_0 / o1.qscale
-    want = dred < o1.d_limit
+    want = dred < o0.d_limit
     np.testing.assert_array_equal(pred_compat[:, 0].astype(bool), want)
 
     est.compat_dd_shared_state = False
