@@ -149,3 +149,45 @@ def test_plot_t2q_classes_smoke(tmp_path):
     path = plot_t2q_classes(models, transform_fn, x, labels,
                             save_path=str(tmp_path / "panel.png"))
     assert os.path.getsize(path) > 0
+
+
+def test_optuna_objective_wrapper_with_fake_trial():
+    """The Optuna hook builds configs via trial.suggest_* without needing
+    optuna installed (a minimal fake trial suffices)."""
+    from ocm_tpu.utils.sweep import optuna_objective, run_optuna_study
+
+    class FakeTrial:
+        def __init__(self):
+            self.calls = []
+
+        def suggest_int(self, k, lo, hi):
+            self.calls.append(("int", k, lo, hi))
+            return lo
+
+        def suggest_float(self, k, lo, hi, log=False):
+            self.calls.append(("float", k, lo, hi, log))
+            return lo
+
+        def suggest_categorical(self, k, choices):
+            self.calls.append(("cat", k, tuple(choices)))
+            return choices[0]
+
+    space = {"latent_dim": ("int", 4, 16), "lr": ("loguniform", 1e-4, 1e-2),
+             "beta": ("uniform", 0.0, 2.0),
+             "batch_size": ("categorical", [32, 64])}
+    seen = {}
+    obj = optuna_objective(lambda cfg: seen.update(cfg) or 1.0, space)
+    trial = FakeTrial()
+    assert obj(trial) == 1.0
+    assert seen == {"latent_dim": 4, "lr": 1e-4, "beta": 0.0,
+                    "batch_size": 32}
+    assert ("float", "lr", 1e-4, 1e-2, True) in trial.calls
+
+    with pytest.raises(ValueError):
+        optuna_objective(lambda c: 0.0, {"z": ("nope", 1)})(FakeTrial())
+    # run_optuna_study raises cleanly when optuna is absent
+    try:
+        import optuna  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="random_search"):
+            run_optuna_study(lambda c: 0.0, space, n_trials=1)
