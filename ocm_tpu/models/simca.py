@@ -275,49 +275,15 @@ def fit_simca_masked(x, w, n_components: int, decision_type: str = "alt",
     t2 = jnp.einsum("ij,jk,ik->i", t, invcovT, t)
     q = jnp.maximum(jnp.sum(xc * xc, axis=-1) - jnp.sum(t * t, axis=-1), 0.0)
 
-    # masked order statistics: padded entries replaced by +inf and the
-    # percentile taken over the true count via sorting
-    def masked_percentile(v, cl):
-        v_sorted = jnp.sort(jnp.where(w > 0, v, jnp.inf))
-        # np.percentile linear interpolation on the first n entries
-        idx = cl * (n - 1.0)
-        lo = jnp.clip(jnp.floor(idx).astype(jnp.int32), 0, v.shape[0] - 1)
-        hi = jnp.clip(lo + 1, 0, v.shape[0] - 1)
-        frac = idx - jnp.floor(idx)
-        v_hi = jnp.where(hi < n, v_sorted[hi], v_sorted[lo])
-        return v_sorted[lo] * (1.0 - frac) + v_hi * frac
-
-    def masked_moments(v):
-        m = jnp.sum(v * w) / n
-        var = jnp.sum(w * (v - m) ** 2) / (n - 1.0)
-        return m, var
-
     if max_rank is None:
         max_rank = jnp.minimum(n, x.shape[1]).astype(jnp.int32)
     thetas = L.residual_thetas(eigenvalues, n_components, max_rank=max_rank)
 
-    # limit engines on masked statistics
-    if t2_method == "perc":
-        t2_res = L.LimitResult(masked_percentile(t2, t2_cl),
-                               jnp.ones((), x.dtype), jnp.ones((), x.dtype))
-    elif t2_method == "chi2pom":
-        m, var = masked_moments(t2)
-        dof = jnp.maximum(jnp.where(var > 0, jnp.round(2 * m * m / var), 1.0), 1.0)
-        from ocm_tpu.ops.special import chi2_ppf
-        t2_res = L.LimitResult(m * chi2_ppf(t2_cl, dof) / dof, dof, m)
-    else:
-        t2_res = L.t2_limit(t2, n_components, t2_method, t2_cl, n_samples=n)
-
-    if q_method == "perc":
-        q_res = L.LimitResult(masked_percentile(q, q_cl),
-                              jnp.ones((), x.dtype), jnp.ones((), x.dtype))
-    elif q_method == "chi2pom":
-        m, var = masked_moments(q)
-        dof = jnp.maximum(jnp.where(var > 0, jnp.round(2 * m * m / var), 1.0), 1.0)
-        from ocm_tpu.ops.special import chi2_ppf
-        q_res = L.LimitResult(m * chi2_ppf(q_cl, dof) / dof, dof, m)
-    else:
-        q_res = L.q_limit(q, q_method, q_cl, thetas=thetas)
+    # limit engines on masked statistics — single-sourced with the CV engine
+    # (masked_t2_limit/masked_q_limit above); order-statistic logic must
+    # have exactly one implementation on this correctness-critical path
+    t2_res = masked_t2_limit(t2, w, n, n_components, t2_method, t2_cl)
+    q_res = masked_q_limit(q, w, n, q_method, q_cl, thetas)
 
     d_limit = L.critical_distance(decision_type, t2_res, q_res,
                                   n_components=n_components, thetas=thetas,

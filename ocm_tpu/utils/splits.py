@@ -12,7 +12,7 @@ cal/val/test boundary.  The pipeline per class:
 4. split at the OBJECT level 70/15/15 with sklearn-equivalent seeded
    shuffling (:104-121) — ``shuffle_split`` reproduces
    ``sklearn.model_selection.train_test_split(random_state=...)``
-   permutation-for-permutation (tests/test_splits.py);
+   permutation-for-permutation (tests/test_data.py);
 5. assemble the global test set with labels 0=target / 1=other (:137-154)
    and the concatenated other-class test set ``X_test_out`` (:162-166).
 """
