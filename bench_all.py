@@ -36,6 +36,17 @@ def _emit(metric, value, unit, vs_baseline=None):
     return payload
 
 
+def _force(out):
+    """Fetch all output leaves to the host.  Warmups MUST fetch on the
+    hosted TPU (axon): execution — including compilation — is lazy until a
+    value materializes, and block_until_ready on a never-materialized array
+    returns immediately (measured).  After one fetch, per-call
+    block_until_ready waits correctly and timings scale with the workload."""
+    import jax
+
+    return jax.tree.map(np.asarray, out)
+
+
 def bench_simca(quick=False):
     import bench as headline
 
@@ -75,7 +86,7 @@ def bench_cvsimca(quick=False):
         return cv_simca_sweep(xd, y, 0, lvs, n_splits=n_splits,
                               convert=False)
 
-    jax.block_until_ready(run())  # compile
+    _force(run())  # compile + materialize (see _force)
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -182,7 +193,8 @@ def bench_vae_train(quick=False):
     steps_per_epoch = n // batch
     cfg = TrainConfig(epochs=epochs, batch_size=batch, lr=1e-3,
                       loss_type="bce")
-    train_vae(model, x, x[:64], cfg, jax.random.key(0))  # compile
+    _force(train_vae(model, x, x[:64], cfg,
+                     jax.random.key(0)).train_losses)   # compile+materialize
     t0 = time.perf_counter()
     r = train_vae(model, x, x[:64], cfg, jax.random.key(0))
     jax.block_until_ready(r.final_params)
@@ -230,7 +242,7 @@ def bench_vae_simca(quick=False):
 
         return jax.lax.fori_loop(0, inner, body, jnp.float32(0.0))
 
-    jax.block_until_ready(fn(x_test_j))
+    _force(fn(x_test_j))   # compile + materialize
     t0 = time.perf_counter()
     jax.block_until_ready(fn(x_test_j))
     dt = (time.perf_counter() - t0) / inner
@@ -260,12 +272,12 @@ def bench_batched_sweep(quick=False):
                                  batch_size=64, loss_type="cosine",
                                  rng=jax.random.key(0))
 
-    jax.block_until_ready(run(n_cfg).train_losses)  # compile
+    _force(run(n_cfg).train_losses)  # compile + materialize
     t0 = time.perf_counter()
     jax.block_until_ready(run(n_cfg).train_losses)
     t_batch = time.perf_counter() - t0
 
-    jax.block_until_ready(run(1).train_losses)      # compile 1-config
+    _force(run(1).train_losses)      # compile 1-config + materialize
     t0 = time.perf_counter()
     jax.block_until_ready(run(1).train_losses)
     t_one = time.perf_counter() - t0
@@ -274,12 +286,83 @@ def bench_batched_sweep(quick=False):
                  "configs/s", (n_cfg / t_batch) / (1.0 / t_one))
 
 
+def bench_roofline(quick=False):
+    """Empirical device roofline + utilization of the scoring hot path.
+
+    Measures achievable matmul peak (f32 and bf16) and effective HBM
+    bandwidth on THIS chip, then reports the headline scoring workload's
+    MFU and bandwidth utilization against them — the basis for the
+    memory-bound analysis in docs/BENCHMARKS.md.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    inner = 4 if quick else 8
+
+    def timed(make_op, arg):
+        @jax.jit
+        def run(a):
+            def body(i, acc):
+                return acc + make_op(a + i * jnp.asarray(1e-6, a.dtype))
+            return jax.lax.fori_loop(0, inner, body,
+                                     jnp.zeros((), jnp.float32))
+        float(run(arg))                       # compile + materialize
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(arg))
+            best = min(best, time.perf_counter() - t0)
+        return best / inner
+
+    # ---- matmul peak ------------------------------------------------------
+    m = 2048 if quick else 4096
+    flops = 2.0 * m * m * m
+    a32 = jnp.ones((m, m), jnp.float32) * 1e-3
+    t32 = timed(lambda a: jnp.sum(
+        jnp.dot(a, a, preferred_element_type=jnp.float32)), a32)
+    peak_f32 = flops / t32
+    a16 = a32.astype(jnp.bfloat16)
+    t16 = timed(lambda a: jnp.sum(
+        jnp.dot(a, a, preferred_element_type=jnp.float32)), a16)
+    peak_bf16 = flops / t16
+    _emit("matmul_peak_f32", peak_f32 / 1e12, "TFLOP/s")
+    _emit("matmul_peak_bf16", peak_bf16 / 1e12, "TFLOP/s")
+
+    # ---- effective HBM bandwidth (streaming reduction) --------------------
+    nbytes = (1 << 27) if quick else (1 << 28)          # 128 / 256 MB
+    v = jnp.ones((nbytes // 4,), jnp.float32)
+    t_bw = timed(lambda a: jnp.sum(a), v)
+    hbm_bw = nbytes / t_bw
+    _emit("hbm_read_bandwidth", hbm_bw / 1e9, "GB/s")
+
+    # ---- scoring-workload utilization -------------------------------------
+    import bench as headline
+
+    cals, xs = headline.make_data(n_score=32768 if quick else 98304)
+    n, length = xs.shape
+    c, k = len(cals), 10
+    t_score = headline.bench_tpu(cals, xs, k=k,
+                                 repeats=3 if quick else 5)
+    # fused multi-class scorer: one (N,L)@(L,C*k+C) GEMM + reductions,
+    # plus the 3 per-class fits (eigh etc. — small, excluded from FLOPs)
+    score_flops = 2.0 * n * length * (c * k + c) + 2.0 * n * c * k * k \
+        + 4.0 * n * length
+    score_bytes = 4.0 * n * length                      # one pass over x
+    mfu = score_flops / t_score / peak_f32 * 100.0
+    bwu = score_bytes / t_score / hbm_bw * 100.0
+    _emit("scoring_mfu", mfu, "% of measured f32 peak")
+    _emit("scoring_bw_utilization", bwu, "% of measured HBM read bandwidth")
+    return {"peak_f32": peak_f32, "peak_bf16": peak_bf16, "hbm": hbm_bw,
+            "mfu": mfu, "bwu": bwu}
+
+
 BENCHES = {
     "simca": bench_simca,
     "cvsimca": bench_cvsimca,
     "vae_train": bench_vae_train,
     "vae_simca": bench_vae_simca,
     "batched_sweep": bench_batched_sweep,
+    "roofline": bench_roofline,
 }
 
 

@@ -37,6 +37,83 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ocm_tpu.ops.bn import bn_act_normalize, bn_act_stats, fused_bn_act
+
+
+class BatchNormAct(nn.Module):
+    """BatchNorm + activation with a fused single-kernel training path.
+
+    Drop-in for ``nn.BatchNorm(momentum, epsilon) -> act`` with an
+    IDENTICAL variable tree (params ``scale``/``bias``, batch_stats
+    ``mean``/``var``) so checkpoints and the torch importer
+    (ocm_tpu.models.torch_import) are unaffected.  Semantics follow flax
+    (fast variance, float32 statistics, running update
+    ``m*ra + (1-m)*batch``).
+
+    ``impl`` selects the training-path formulation:
+
+    - 'auto'/'reference' (default): single jnp formulation (flax math);
+      XLA fuses it into the surrounding step.  Measured on hardware
+      (docs/BENCHMARKS.md): the full B=64 VAE train step is 0.582 ms with
+      this path vs 0.805 ms with the Pallas kernel — the hand kernel's
+      single-block structure (no pipelining) plus the (N,C)<->(C,N)
+      relayouts cost more than XLA's reduce+normalize chain, so XLA stays
+      the default, same conclusion as the T2/Q scoring kernel.
+    - 'fused': ocm_tpu.ops.bn.fused_bn_act, ONE Pallas kernel per
+      direction (interpret mode off-TPU — test hook).  Kept as the
+      measured evidence for the choice above.
+
+    Cross-replica training (``axis_name``) always uses the jnp path with
+    lax.pmean'd statistics (flax semantics) — psums can't live inside a
+    single-device kernel.
+    """
+
+    act: str = "elu"
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (feat,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", jnp.zeros, (feat,),
+                                jnp.float32)
+        ra_var = self.variable("batch_stats", "var", jnp.ones, (feat,),
+                               jnp.float32)
+
+        if not train:
+            return bn_act_normalize(x, ra_mean.value, ra_var.value, scale,
+                                    bias, self.epsilon, self.act,
+                                    dtype=self.dtype)
+
+        c = x.shape[-1]
+        n = x.size // c
+        fits_vmem = (3 * (((c + 7) // 8 * 8) * ((n + 127) // 128 * 128) * 4)
+                     <= 13 * (1 << 20))
+        use_fused = (self.impl == "fused" and train
+                     and self.axis_name is None and fits_vmem)
+        if use_fused:
+            out, mean, var = fused_bn_act(
+                x, scale, bias, self.epsilon, self.act,
+                interpret=jax.default_backend() != "tpu")
+            out = out.astype(self.dtype)
+        else:
+            mean, var = bn_act_stats(x, self.axis_name)
+            out = bn_act_normalize(x, mean, var, scale, bias, self.epsilon,
+                                   self.act, dtype=self.dtype)
+
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        return out
+
 
 def _kaiming_normal(fan_in: int, nonlinearity: str = "linear"):
     """torch ``nn.init.kaiming_normal_`` with an explicit fan (vae_model.py:92-97)."""
@@ -91,6 +168,7 @@ class ConvVAE1D(nn.Module):
     beta: float = 1.0
     init_nonlinearity: str = "linear"   # 'relu' reproduces VAE_SIMCA.py:159
     bn_axis_name: Optional[str] = None
+    bn_impl: str = "auto"               # 'auto' | 'fused' | 'reference'
     dtype: Any = jnp.float32
 
     def _act(self, x):
@@ -98,13 +176,14 @@ class ConvVAE1D(nn.Module):
             return nn.elu(x)
         return nn.gelu(x, approximate=False)  # torch nn.GELU default is exact
 
-    def _bn(self, x, train: bool, name: str):
+    def _bn_act(self, x, train: bool, name: str):
+        """BatchNorm (if enabled) + activation, fused on TPU (BatchNormAct)."""
         if not self.use_batchnorm:
-            return x
-        return nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            return self._act(x)
+        return BatchNormAct(
+            act=self.activation, momentum=0.9, epsilon=1e-5,
             axis_name=self.bn_axis_name if train else None,
-            dtype=self.dtype, name=name)(x)
+            dtype=self.dtype, impl=self.bn_impl, name=name)(x, train=train)
 
     def _dropout(self, x, train: bool, name: str):
         if self.dropout <= 0:
@@ -144,8 +223,7 @@ class ConvVAE1D(nn.Module):
                 kernel_init=_kaiming_normal(h.shape[-1] * k,
                                             self.init_nonlinearity),
                 bias_init=nn.initializers.zeros, name=f"enc_conv{b}")(h)
-            h = self._bn(h, train, name=f"enc_bn{b}")
-            h = self._act(h)
+            h = self._bn_act(h, train, name=f"enc_bn{b}")
             h = self._dropout(h, train, name=f"enc_drop{b}")
             filters = min(filters * 2, 1024)
         h = h.reshape(h.shape[0], -1)
@@ -201,8 +279,7 @@ class ConvVAE1D(nn.Module):
                 kernel_init=_kaiming_normal(next_filters * k,
                                             self.init_nonlinearity),
                 bias_init=nn.initializers.zeros, name=f"dec_conv{b}")(h)
-            h = self._bn(h, train, name=f"dec_bn{b}")
-            h = self._act(h)
+            h = self._bn_act(h, train, name=f"dec_bn{b}")
             h = self._dropout(h, train, name=f"dec_drop{b}")
             filters = next_filters
         h = nn.Conv(features=1, kernel_size=(1,), dtype=self.dtype,

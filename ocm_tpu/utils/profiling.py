@@ -50,9 +50,20 @@ def timeit(fn: Callable, *args, warmup: int = 2, repeats: int = 5,
 
     Blocks on all output leaves, so async dispatch cannot fake speed.
     Returns {'best', 'mean', 'times'} in seconds.
+
+    The warmup FETCHES the output values (device->host), not just
+    block_until_ready: on the hosted-TPU (axon) platform, execution —
+    including compilation — is lazy until a value is materialized, and
+    ``block_until_ready`` on a never-materialized array returns
+    immediately.  After the first fetch forces the compile, per-call
+    ``block_until_ready`` waits correctly (measured: ~31 ms steady-state
+    tunnel round trip, scale workloads accordingly).
     """
+    import numpy as _np
+
     for _ in range(max(warmup, 1)):
-        jax.block_until_ready(fn(*args, **kwargs))
+        out = fn(*args, **kwargs)
+    jax.tree.map(_np.asarray, out)   # force compile + execution + fetch
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
