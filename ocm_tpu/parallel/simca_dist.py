@@ -130,6 +130,13 @@ def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
     the vmapped fold axis is placed on the mesh, so each chip computes
     n_splits / n_chips eigendecompositions.  Aggregation (fold means,
     pooled predictions) happens on the replicated outputs.
+
+    When ``n_splits`` does not divide the model-axis size the fold axis is
+    auto-padded by REPEATING folds cyclically (mirroring the sample-axis
+    padding of the 2-D sweep); padded folds compute real (well-conditioned)
+    fits but are excluded from every aggregate, so the reference's 5-fold
+    protocol runs unchanged on an 8-chip model axis
+    (tests/test_parallel.py::test_cv_sweep_sharded_fold_padding).
     """
     import numpy as np
 
@@ -139,9 +146,11 @@ def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
     y_np = np.asarray(y)
     train_np, held_np = cv_mod.fold_masks(y_np, cls_label, n_splits)
     n_chips = mesh.shape[model_axis]
-    if n_splits % n_chips:
-        raise ValueError(f"n_splits={n_splits} not divisible by mesh axis "
-                         f"{model_axis!r} of size {n_chips}")
+    f_pad = (-n_splits) % n_chips
+    if f_pad:
+        reps = np.arange(f_pad) % n_splits
+        train_np = np.concatenate([train_np, train_np[reps]], axis=0)
+        held_np = np.concatenate([held_np, held_np[reps]], axis=0)
     lvs = jnp.asarray(list(lv_values), dtype=jnp.int32)
     other_m = jnp.asarray(y_np != cls_label)
 
@@ -178,10 +187,11 @@ def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
                   out_shardings=(folds_sharding, folds_sharding,
                                  folds_sharding))
     accept, sens, spec = run(jnp.asarray(train_np), jnp.asarray(held_np))
+    accept, spec = accept[:n_splits], spec[:n_splits]   # drop padded folds
 
     spec_mean = jnp.mean(spec, axis=0)
     own = jnp.einsum("fln,fn->ln", accept.astype(x.dtype),
-                     jnp.asarray(held_np, x.dtype))
+                     jnp.asarray(held_np[:n_splits], x.dtype))
     pooled = jnp.where(other_m[None, :], accept[-1], own > 0)
     in_class = ~other_m
     tp = jnp.sum(pooled & in_class[None, :], axis=1)
@@ -208,10 +218,11 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
     runs replicated.  Numerically identical to cv_simca_sweep
     (tests/test_parallel.py).
 
-    Requires n_splits divisible by the model-axis size.  The sample axis is
-    auto-padded to the data-axis size with rows that carry a zero validity
-    mask, so padding enters no statistic (fold masks exclude it from fits;
-    the confusion counts intersect with the validity mask).
+    Both grid axes auto-pad: the sample axis to the data-axis size with
+    rows carrying a zero validity mask (padding enters no statistic — fold
+    masks exclude it from fits and the confusion counts intersect the
+    validity mask), and the fold axis to the model-axis size by repeating
+    folds cyclically (padded folds are dropped from every aggregate).
     """
     import numpy as np
 
@@ -222,19 +233,21 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
     n = x.shape[0]
     n_model = mesh.shape[model_axis]
     n_data = mesh.shape[data_axis]
-    if n_splits % n_model:
-        raise ValueError(f"n_splits={n_splits} not divisible by mesh axis "
-                         f"{model_axis!r} of size {n_model}")
     if decision_type == "dd":
         t2_method = q_method = "chi2pom"
 
     train_np, held_np = cv_mod.fold_masks(y_np, cls_label, n_splits)
+    f_pad = (-n_splits) % n_model
+    if f_pad:
+        reps = np.arange(f_pad) % n_splits
+        train_np = np.concatenate([train_np, train_np[reps]], axis=0)
+        held_np = np.concatenate([held_np, held_np[reps]], axis=0)
     other_np = (y_np != cls_label)
     valid_np = np.ones(n, dtype=bool)
     pad = (-n) % n_data
     if pad:
         x = np.concatenate([x, np.zeros((pad, x.shape[1]), x.dtype)])
-        zeros_f = np.zeros((n_splits, pad), dtype=bool)
+        zeros_f = np.zeros((train_np.shape[0], pad), dtype=bool)
         train_np = np.concatenate([train_np, zeros_f], axis=1)
         held_np = np.concatenate([held_np, zeros_f], axis=1)
         other_np = np.concatenate([other_np, np.ones(pad, dtype=bool)])
@@ -323,8 +336,9 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
         x, jnp.asarray(train_np), jnp.asarray(held_np),
         jnp.asarray(other_np), jnp.asarray(valid_np))
 
+    accept, spec = accept[:n_splits], spec[:n_splits]   # drop padded folds
     spec_mean = jnp.mean(spec, axis=0)
-    held_m = jnp.asarray(held_np[:, :n])
+    held_m = jnp.asarray(held_np[:n_splits, :n])
     other_m = jnp.asarray(other_np[:n])
     accept = accept[:, :, :n]                        # drop padded columns
     own = jnp.einsum("fln,fn->ln", accept.astype(x.dtype),

@@ -94,14 +94,20 @@ def test_cv_sweep_sharded_matches_local(cls_data):
     np.testing.assert_allclose(got["sens"], want["sens"], atol=1e-8)
 
 
-def test_cv_sweep_sharded_divisibility(cls_data):
+def test_cv_sweep_sharded_fold_padding(cls_data):
+    """The reference's standard 5-fold protocol on an 8-chip model axis:
+    folds auto-pad by repetition and the padded fits drop out of every
+    aggregate — results identical to the single-chip sweep."""
     rng = np.random.default_rng(5)
     x_other = make_class_spectra(rng, 30, 40, center_shift=1.5)
     x = np.concatenate([cls_data, x_other])
     y = np.concatenate([np.zeros(len(cls_data)), np.ones(len(x_other))])
     mesh = make_mesh((8,), ("model",))
-    with pytest.raises(ValueError):
-        cv_sweep_sharded(x, y, 0, [2], mesh, n_splits=5)
+    got = cv_sweep_sharded(x, y, 0, [2, 4], mesh, n_splits=5)
+    want = cv_simca_sweep(x, y, 0, [2, 4], n_splits=5)
+    np.testing.assert_allclose(got["spec"], want["spec"], atol=1e-8)
+    np.testing.assert_allclose(got["sens"], want["sens"], atol=1e-8)
+    np.testing.assert_array_equal(got["pred"], want["pred"])
 
 
 def test_dp_training_runs_and_learns(mesh):
@@ -157,14 +163,18 @@ def test_cv_sweep_2d_mesh_perc_limits(cls_data):
     np.testing.assert_allclose(got["eff"], want["eff"], atol=1e-8)
 
 
-def test_cv_sweep_2d_divisibility(cls_data):
+def test_cv_sweep_2d_auto_padding(cls_data):
     from ocm_tpu.parallel.simca_dist import cv_sweep_sharded_2d
 
     y = np.zeros(len(cls_data))
     y[-30:] = 1
     mesh2d = make_mesh((4, 2), ("model", "data"))
-    with pytest.raises(ValueError):
-        cv_sweep_sharded_2d(cls_data, y, 0, [2], mesh2d, n_splits=5)
+    # fold axis auto-pads: 5 folds on a 4-chip model axis
+    got = cv_sweep_sharded_2d(cls_data, y, 0, [2, 3], mesh2d, n_splits=5)
+    want = cv_simca_sweep(cls_data, y, 0, [2, 3], n_splits=5)
+    np.testing.assert_allclose(got["spec"], want["spec"], atol=1e-8)
+    np.testing.assert_allclose(got["sens"], want["sens"], atol=1e-8)
+    np.testing.assert_array_equal(got["pred"], want["pred"])
     # sample axis auto-pads: uneven N matches the local solve exactly
     got = cv_sweep_sharded_2d(cls_data[:119], y[:119], 0, [2, 4], mesh2d,
                               n_splits=4)
