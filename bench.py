@@ -45,7 +45,7 @@ def bench_tpu(cals, xs, k=10, repeats=5, inner_iters=8):
     import jax
     import jax.numpy as jnp
 
-    from ocm_tpu.models.simca import fit_simca, simca_decide
+    from ocm_tpu.models.simca import fit_simca, predict_classes
 
     stacked = jnp.asarray(np.stack(cals), jnp.float32)   # (C, n, L)
     xs_d = jnp.asarray(xs, jnp.float32)
@@ -54,13 +54,20 @@ def bench_tpu(cals, xs, k=10, repeats=5, inner_iters=8):
     def run():
         def body(i, acc):
             models = fit_fn(stacked + 1e-6 * i)
-            _, dred, _, _ = jax.vmap(lambda m: simca_decide(m, xs_d))(models)
+            # fused multi-class scoring: ONE GEMM / one HBM pass over the
+            # spectra for all C classes (ops.linalg.t2_q_scores_multiclass)
+            _, dred, _, _ = predict_classes(models, xs_d)
             return acc + jnp.sum(dred)
 
         return jax.lax.fori_loop(0, inner_iters, body, jnp.float32(0.0))
 
     run_jit = jax.jit(run)
-    jax.block_until_ready(run_jit())  # compile
+    # Warmup must FETCH the value: on the hosted TPU (axon) execution —
+    # including compilation — is lazy until a value materializes, and
+    # block_until_ready on a never-materialized array returns immediately.
+    # After this fetch, per-call block_until_ready waits correctly
+    # (verified: times scale linearly with inner_iters).
+    float(run_jit())
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()

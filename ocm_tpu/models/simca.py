@@ -154,8 +154,26 @@ def fit_classes(x, classes, class_labels, n_components: int, **kwargs):
     return jax.vmap(fit_fn)(jnp.asarray(stacked), jnp.asarray(masks))
 
 
-def predict_classes(models: SIMCAModel, x, decision_type: str = "alt"):
-    """Score one batch against C stacked models: (C, N) accept matrix."""
+def predict_classes(models: SIMCAModel, x, decision_type: str = "alt",
+                    fused: bool = True):
+    """Score one batch against C stacked models: (C, N) accept matrix.
+
+    ``fused=True`` (default) computes ALL classes from one GEMM / one HBM
+    pass over x (ops.linalg.t2_q_scores_multiclass — measured ~C-fold
+    traffic reduction on the scoring roofline); ``fused=False`` keeps the
+    per-class vmap, the formulation used for single-model scoring.
+    """
+    if fused:
+        from ocm_tpu.ops.linalg import t2_q_scores_multiclass
+
+        x = x.astype(models.mean.dtype)
+        t2, q, _ = t2_q_scores_multiclass(x, models.mean, models.components,
+                                          models.invcovT)
+        dred = jax.vmap(
+            lambda t2c, qc, tr, qr: L.reduced_distance(
+                decision_type, t2c, qc, tr, qr)
+        )(t2, q, models.t2_res, models.q_res)
+        return dred < models.d_limit[:, None], dred, t2, q
     return jax.vmap(lambda m: simca_decide(m, x, decision_type))(models)
 
 

@@ -115,3 +115,41 @@ def t2_q_scores(x, mean, components, invcovT):
     q = jnp.maximum(q, 0.0)
     t2 = jnp.einsum("ij,jk,ik->i", t, invcovT, t)
     return t2, q, t
+
+
+def t2_q_scores_multiclass(x, means, components, invcovs):
+    """T^2 and Q of ``x`` (N, L) against C class models in ONE pass over x.
+
+    The per-class formulation (vmap of ``t2_q_scores``) streams the (N, L)
+    spectra from HBM once PER CLASS — measured on hardware, that HBM read
+    is the scoring bottleneck (docs/BENCHMARKS.md roofline).  Centering
+    commutes with the projection, so all classes share a single GEMM::
+
+        t_c         = x @ P_c^T - m_c @ P_c^T          (constant offset)
+        ||x - m_c||^2 = ||x||^2 - 2 x.m_c + ||m_c||^2
+
+    Stacking ``[P_1^T .. P_C^T | m_1 .. m_C]`` into one (L, C*k + C)
+    operand yields every class's scores and Q from one (N, L) read: HBM
+    traffic drops ~C-fold.  The expansion introduces benign cancellation
+    (|error| ~ eps * ||x||^2, orders below the Q acceptance limits);
+    equality with the per-class path is asserted at tight tolerance in
+    tests/test_simca.py.
+
+    means: (C, L); components: (C, k, L); invcovs: (C, k, k).
+    Returns t2 (C, N), q (C, N), t (C, N, k).
+    """
+    n_classes, k, length = components.shape
+    w = jnp.concatenate([components.reshape(n_classes * k, length).T,
+                         means.T], axis=1)            # (L, C*k + C)
+    g = x @ w                                         # ONE pass over x
+    xp = g[:, :n_classes * k].reshape(-1, n_classes, k)
+    xp = jnp.transpose(xp, (1, 0, 2))                 # (C, N, k) = x P_c^T
+    xm = g[:, n_classes * k:].T                       # (C, N)    = x . m_c
+    x2 = jnp.sum(x * x, axis=-1)                      # (N,)
+    mp = jnp.einsum("cl,ckl->ck", means, components)  # (C, k) = m_c P_c^T
+    t = xp - mp[:, None, :]
+    m2 = jnp.sum(means * means, axis=-1)              # (C,)
+    q = jnp.maximum(x2[None, :] - 2.0 * xm + m2[:, None]
+                    - jnp.sum(t * t, axis=-1), 0.0)
+    t2 = jnp.einsum("cnj,cjk,cnk->cn", t, invcovs, t)
+    return t2, q, t

@@ -190,3 +190,32 @@ def test_fit_classes_unequal_sizes(rng):
         single = simca.fit_simca(jnp.asarray(xc), 5)
         a, *_ = simca.simca_decide(single, jnp.asarray(x))
         np.testing.assert_array_equal(np.asarray(accept[c]), np.asarray(a))
+
+
+@pytest.mark.parametrize("dt,t2m,qm", [("alt", "Fdist", "jm"),
+                                       ("dd", "chi2pom", "chi2pom"),
+                                       ("ci", "perc", "perc")])
+def test_predict_classes_fused_matches_per_class(rng, dt, t2m, qm):
+    """The single-GEMM multi-class scorer (one HBM pass over x) equals the
+    per-class vmap formulation: scores to tight tolerance, decisions
+    exactly."""
+    xs = [make_class_spectra(rng, 60, 35, center_shift=s) for s in
+          (0.0, 1.0, 2.5)]
+    x = np.concatenate(xs)
+    classes = np.repeat([0, 1, 2], 60)
+    models = simca.fit_classes(jnp.asarray(x), classes, [0, 1, 2], 4,
+                               decision_type=dt, t2_method=t2m, q_method=qm)
+    x_new = jnp.asarray(np.concatenate(
+        [make_class_spectra(rng, 25, 35, center_shift=s) for s in
+         (0.0, 1.0, 2.5, 4.0)]))
+    a_f, d_f, t2_f, q_f = simca.predict_classes(models, x_new, dt,
+                                                fused=True)
+    a_v, d_v, t2_v, q_v = simca.predict_classes(models, x_new, dt,
+                                                fused=False)
+    np.testing.assert_allclose(np.asarray(t2_f), np.asarray(t2_v),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_v),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_v),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(a_f), np.asarray(a_v))
