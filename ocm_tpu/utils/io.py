@@ -31,21 +31,101 @@ import numpy as np
 # Cheese FTIR (.mat)
 # ---------------------------------------------------------------------------
 
-def load_cheese_mat(path: str):
+def _struct_fields(struct, key: str) -> dict:
+    """MATLAB struct -> {field: value}, accessed BY NAME (robust to field
+    re-ordering; the reference maps by enumeration order,
+    data_cheese.py:33-34)."""
+    struct = np.asarray(struct)
+    if struct.dtype.names is None:
+        raise ValueError(
+            f"{key!r}: expected a MATLAB struct with named fields, got "
+            f"array of dtype {struct.dtype} and shape {struct.shape}")
+    rec = struct.reshape(-1)[0]
+    return {name: rec[name] for name in struct.dtype.names}
+
+
+def _unwrap_cell(value):
+    """Strip MATLAB cell/object nesting: loadmat wraps nested containers in
+    object arrays — as a (1, 1) singleton for one nested array, or
+    element-wise (one cell per scalar, e.g. shape (1, 1, n)) for cell
+    vectors."""
+    value = np.asarray(value)
+    while value.dtype == object:
+        if value.size == 1:
+            value = np.asarray(value.reshape(-1)[0])
+        else:
+            value = np.stack([np.squeeze(_unwrap_cell(e))
+                              for e in value.reshape(-1)])
+    return value
+
+
+def load_cheese_mat(path: str, data_field: str = "data",
+                    class_field: str = "class"):
     """-> (x_train, y_train, x_test, y_test); labels 0-based ints
-    (data_cheese.py:22-45)."""
+    (data_cheese.py:22-45).
+
+    Struct fields are accessed by name, cell nesting is unwrapped, and the
+    schema is validated with clear errors (field names, label/sample-count
+    agreement); a scipy.io.savemat round trip of the reference-shaped
+    struct loads identically (tests/test_data.py)."""
     import scipy.io
 
     raw = scipy.io.loadmat(path)
     out = []
     for key in ("Xtr", "Xts"):
-        struct = raw[key]
-        fields = {name: struct[0][0][i]
-                  for i, name in enumerate(struct.dtype.names)}
-        x = np.asarray(fields["data"], dtype=np.float64)
-        y = np.squeeze(fields["class"][0][0]).astype(int) - 1
+        if key not in raw:
+            present = [k for k in raw if not k.startswith("__")]
+            raise ValueError(f"{path}: missing struct {key!r}; file "
+                             f"contains {present}")
+        fields = _struct_fields(raw[key], key)
+        for f in (data_field, class_field):
+            if f not in fields:
+                raise ValueError(f"{key!r} has no field {f!r}; fields are "
+                                 f"{sorted(fields)}")
+        x = np.asarray(_unwrap_cell(fields[data_field]), dtype=np.float64)
+        y = np.squeeze(_unwrap_cell(fields[class_field])).astype(int) - 1
+        if x.ndim != 2:
+            raise ValueError(f"{key}.{data_field}: expected (n_samples, "
+                             f"n_wavelengths), got shape {x.shape}")
+        if y.ndim != 1 or y.shape[0] != x.shape[0]:
+            raise ValueError(
+                f"{key}.{class_field}: expected {x.shape[0]} labels, got "
+                f"shape {np.shape(y)}")
         out += [x, y]
     return tuple(out)
+
+
+def load_swir_mat(path: str, classes, dtype=np.float32):
+    """SWIR hyperspectral .mat -> {class: [cube, ...]} (nut_data.py:16-60).
+
+    The reference file is a flat dict of ``field_name -> (H, W, L)`` cube
+    with the nut type inferred by substring match of the field name
+    against the class list; unmatched fields are skipped with a warning
+    entry in the returned ``skipped`` list: returns (cubes, skipped).
+    """
+    import scipy.io
+
+    raw = scipy.io.loadmat(path)
+    cubes = {cls: [] for cls in classes}
+    skipped = []
+    for field_name, value in raw.items():
+        if field_name.startswith("__"):
+            continue
+        cube = np.asarray(value, dtype=dtype)
+        cls = next((c for c in classes
+                    if c.lower() in field_name.lower()), None)
+        if cls is None:
+            skipped.append(field_name)
+            continue
+        if cube.ndim != 3:
+            raise ValueError(f"{field_name}: expected an (H, W, L) cube, "
+                             f"got shape {cube.shape}")
+        cubes[cls].append(cube)
+    if not any(cubes.values()):
+        raise ValueError(f"{path}: no field matched any class in "
+                         f"{list(classes)}; fields were "
+                         f"{[k for k in raw if not k.startswith('__')]}")
+    return cubes, skipped
 
 
 def cheese_wavelengths(n: int):
@@ -57,6 +137,16 @@ def cheese_wavelengths(n: int):
 # HSI object extraction (nut_data.py)
 # ---------------------------------------------------------------------------
 
+def segment_cube(cube, background_threshold: float):
+    """Background mask + 8-connected labeling of one (H, W, L) cube
+    (nut_data.py:65-71).  Returns (labeled (H, W) int array, n_objects)."""
+    from scipy import ndimage
+
+    cube = np.asarray(cube)
+    foreground = np.mean(cube, axis=2) >= background_threshold
+    return ndimage.label(foreground, structure=np.ones((3, 3), dtype=int))
+
+
 def extract_objects(cube, background_threshold: float,
                     min_pixels: int = 1):
     """Segment one hyperspectral cube (H, W, L) into per-object spectra.
@@ -66,12 +156,8 @@ def extract_objects(cube, background_threshold: float,
     (nut_data.py:69-71).  Returns a list of dicts with 'spectral_data'
     (n_pixels, L), 'mean_spectrum', 'centroid', 'n_pixels'.
     """
-    from scipy import ndimage
-
     cube = np.asarray(cube)
-    foreground = np.mean(cube, axis=2) >= background_threshold
-    labeled, n_objects = ndimage.label(foreground,
-                                       structure=np.ones((3, 3), dtype=int))
+    labeled, n_objects = segment_cube(cube, background_threshold)
     objects = []
     for obj_idx in range(1, n_objects + 1):
         mask = labeled == obj_idx

@@ -248,3 +248,112 @@ def test_write_object_store_uncompressed(tmp_path):
     back = read_object_store(path)
     np.testing.assert_allclose(back["a"][0]["spectral_data"],
                                objs[0]["spectral_data"])
+
+
+def test_load_cheese_mat_field_order_and_plain_class(tmp_path, rng):
+    """Name-based field access: re-ordered struct fields and a plain
+    (N, 1) class vector (no cell nesting) both load identically."""
+    scipy_io = pytest.importorskip("scipy.io")
+
+    from ocm_tpu.utils.io import load_cheese_mat
+
+    x_tr = rng.normal(0, 1, (14, 9))
+    y_tr = rng.integers(1, 4, 14)
+    x_ts = rng.normal(0, 1, (6, 9))
+    y_ts = rng.integers(1, 4, 6)
+
+    path = str(tmp_path / "reordered.mat")
+    scipy_io.savemat(path, {
+        # 'class' BEFORE 'data', stored as a plain column vector
+        "Xtr": {"class": y_tr.reshape(-1, 1).astype(float), "data": x_tr},
+        "Xts": {"class": y_ts.reshape(-1, 1).astype(float), "data": x_ts},
+    })
+    a, b, c, d = load_cheese_mat(path)
+    np.testing.assert_allclose(a, x_tr)
+    np.testing.assert_array_equal(b, y_tr - 1)
+    np.testing.assert_allclose(c, x_ts)
+    np.testing.assert_array_equal(d, y_ts - 1)
+
+
+def test_load_cheese_mat_schema_errors(tmp_path, rng):
+    scipy_io = pytest.importorskip("scipy.io")
+
+    from ocm_tpu.utils.io import load_cheese_mat
+
+    x = rng.normal(0, 1, (8, 5))
+    y = rng.integers(1, 3, 8)
+
+    p1 = str(tmp_path / "missing_struct.mat")
+    scipy_io.savemat(p1, {"Xtr": {"data": x, "class": y}})
+    with pytest.raises(ValueError, match="missing struct 'Xts'"):
+        load_cheese_mat(p1)
+
+    p2 = str(tmp_path / "missing_field.mat")
+    scipy_io.savemat(p2, {"Xtr": {"data": x, "labels": y},
+                          "Xts": {"data": x, "labels": y}})
+    with pytest.raises(ValueError, match="no field 'class'"):
+        load_cheese_mat(p2)
+
+    p3 = str(tmp_path / "not_struct.mat")
+    scipy_io.savemat(p3, {"Xtr": x, "Xts": x})
+    with pytest.raises(ValueError, match="expected a MATLAB struct"):
+        load_cheese_mat(p3)
+
+    p4 = str(tmp_path / "count_mismatch.mat")
+    scipy_io.savemat(p4, {"Xtr": {"data": x, "class": y[:5]},
+                          "Xts": {"data": x, "class": y}})
+    with pytest.raises(ValueError, match="expected 8 labels"):
+        load_cheese_mat(p4)
+
+
+def test_load_swir_mat_roundtrip_to_object_store(tmp_path, rng):
+    """Full SWIR ingest chain on a savemat round trip: flat field->cube
+    .mat (nut_data.py:16-60 schema) -> class-matched cubes ->
+    extract_objects -> HDF5 object store -> read back."""
+    scipy_io = pytest.importorskip("scipy.io")
+    pytest.importorskip("h5py")
+
+    from ocm_tpu.utils.io import load_swir_mat
+
+    def blob_cube(row, col):
+        cube = np.zeros((12, 12, 5), dtype=np.float32)
+        cube[row:row + 3, col:col + 3, :] = rng.normal(
+            1.0, 0.05, (3, 3, 5)).astype(np.float32)
+        return cube
+
+    path = str(tmp_path / "SWIR_sb.mat")
+    scipy_io.savemat(path, {
+        "Almond_img1": blob_cube(1, 1),
+        "almond_2": blob_cube(5, 6),
+        "PEANUT_a": blob_cube(2, 7),
+        "calibration_panel": blob_cube(0, 0),   # matches no class
+    })
+    cubes, skipped = load_swir_mat(path, ["almond", "peanut"])
+    assert len(cubes["almond"]) == 2
+    assert len(cubes["peanut"]) == 1
+    assert skipped == ["calibration_panel"]
+
+    data = {cls: [extract_objects(c, 0.1) for c in imgs]
+            for cls, imgs in cubes.items()}
+    assert all(len(objs) == 1 for imgs in data.values() for objs in imgs)
+    h5 = str(tmp_path / "objects.h5")
+    write_object_store(h5, data)
+    back = read_object_store(h5)
+    assert set(back) == {"almond", "peanut"}
+    assert back["almond"][0]["spectral_data"].shape == (9, 5)
+
+
+def test_load_swir_mat_errors(tmp_path, rng):
+    scipy_io = pytest.importorskip("scipy.io")
+
+    from ocm_tpu.utils.io import load_swir_mat
+
+    p1 = str(tmp_path / "no_match.mat")
+    scipy_io.savemat(p1, {"walnut_x": np.zeros((4, 4, 3))})
+    with pytest.raises(ValueError, match="no field matched"):
+        load_swir_mat(p1, ["almond", "peanut"])
+
+    p2 = str(tmp_path / "not_cube.mat")
+    scipy_io.savemat(p2, {"almond_x": np.zeros((4, 4))})
+    with pytest.raises(ValueError, match=r"\(H, W, L\) cube"):
+        load_swir_mat(p2, ["almond"])
