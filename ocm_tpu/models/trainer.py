@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -204,6 +204,72 @@ def train_vae(model: ConvVAE1D, x_cal, x_val, cfg: TrainConfig,
     bundle = new_bundle(best_params, best_bs, mean, std, model.latent_dim)
     return TrainResult(bundle, train_losses, val_losses,
                        best_epoch + epoch_offset, f_params, f_bs, f_opt)
+
+
+def train_vae_blocked(model: ConvVAE1D, x_cal, x_val, cfg: TrainConfig,
+                      rng: jax.Array, block_epochs: int = 10,
+                      report: Optional[Callable] = None,
+                      spec_stats: Optional[tuple] = None) -> TrainResult:
+    """Train in ``block_epochs``-sized jitted blocks with a host callback
+    between blocks — the mid-training HPO pruning hook the reference gets
+    from per-epoch ``trial.report`` + ``TrialPruned``
+    (optim_bce_nuts.py:197-199).
+
+    ``report(epoch, train_loss, val_loss) -> bool`` is called once per
+    COMPLETED epoch (host floats); returning True stops training at the
+    enclosing block boundary (``block_epochs=1`` reproduces the reference's
+    exact per-epoch pruning cadence; larger blocks trade pruning latency
+    for fewer device round trips).
+
+    The trajectory is IDENTICAL to the monolithic ``train_vae`` run with
+    the same rng (tests/test_sweep.py): each block resumes from
+    ``final_params/batch_stats/opt_state`` with ``epoch_offset`` set, and
+    the per-epoch RNG folds in the GLOBAL epoch index, so the shuffle and
+    reparameterization streams continue exactly.  Only the epochs-per-jit
+    blocking differs, and each distinct block length compiles once
+    (module-level jit keyed on cfg).
+    """
+    x_cal = jnp.asarray(x_cal)
+    if spec_stats is None:
+        spec_stats = spectral_stats(np.asarray(x_cal))
+
+    state = None
+    train_losses, val_losses = [], []
+    best_val, best_bundle, best_epoch = np.inf, None, 0
+    done = 0
+    stopped = False
+    while done < cfg.epochs and not stopped:
+        k = min(block_epochs, cfg.epochs - done)
+        bcfg = dataclasses.replace(cfg, epochs=k)
+        r = train_vae(model, x_cal, x_val, bcfg, rng,
+                      spec_stats=spec_stats, init_state=state,
+                      epoch_offset=done)
+        state = (r.final_params, r.final_batch_stats, r.final_opt_state)
+        tl = np.asarray(r.train_losses)
+        vl = np.asarray(r.val_losses)
+        seen = k
+        for e in range(k):
+            train_losses.append(float(tl[e]))
+            val_losses.append(float(vl[e]))
+            if report is not None and report(done + e, float(tl[e]),
+                                             float(vl[e])):
+                stopped = True
+                seen = e + 1
+                break
+        # best-checkpoint tracking: r.bundle is the block's best checkpoint;
+        # adopt it only when that epoch was actually reported (a pruned
+        # block's unreported tail never becomes the best model — the
+        # reference's TrialPruned discards the trial there anyway)
+        if (float(np.min(vl[:seen])) < best_val
+                and int(r.best_epoch) - done < seen):
+            best_val = float(np.min(vl[:seen]))
+            best_bundle = r.bundle
+            best_epoch = int(r.best_epoch)
+        done += k
+
+    return TrainResult(best_bundle,
+                       jnp.asarray(train_losses), jnp.asarray(val_losses),
+                       jnp.asarray(best_epoch), *state)
 
 
 @functools.partial(

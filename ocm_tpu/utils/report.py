@@ -199,3 +199,137 @@ def plot_losses(train_losses, val_losses=None, best_epoch: Optional[int] = None,
         plt.close(fig)
         return save_path
     return fig
+
+
+def _rgb_composite(cube):
+    """RGB composite at the 10/50/90% wavelengths, 1-99 percentile
+    stretched (nut_data.py:76-81)."""
+    cube = np.asarray(cube)
+    length = cube.shape[2]
+    idxs = [int(length * 0.1), int(length * 0.5), int(length * 0.9)]
+    rgb = np.stack([cube[..., i] for i in idxs], axis=-1)
+    p1, p99 = np.percentile(rgb, (1, 99))
+    return np.clip((rgb - p1) / (p99 - p1 + 1e-12), 0, 1)
+
+
+def plot_segmentation(cube, labeled, n_objects: int,
+                      title: str = "segmentation",
+                      save_path: Optional[str] = None):
+    """Per-image segmentation debug figure (nut_data.py:75-103): each
+    connected component in a distinct tab20 color on black background,
+    object ids drawn at the component centroids.  ``labeled`` comes from
+    ``ocm_tpu.utils.io.segment_cube``."""
+    plt = _plt()
+    from matplotlib import colormaps
+
+    rgb_vis = _rgb_composite(cube)
+    labeled = np.asarray(labeled)
+    seg_color = np.zeros_like(rgb_vis)
+    cmap = colormaps["tab20"]
+    for obj_id in range(1, n_objects + 1):
+        seg_color[labeled == obj_id] = cmap((obj_id - 1) % 20)[:3]
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.imshow(seg_color)
+    ax.axis("off")
+    ax.set_title(title)
+    for obj_id in range(1, n_objects + 1):
+        coords = np.argwhere(labeled == obj_id)
+        if coords.size == 0:
+            continue
+        yc, xc = coords.mean(axis=0)
+        ax.text(xc, yc, str(obj_id), color="white", fontsize=8,
+                ha="center", va="center")
+    if save_path:
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return save_path
+    return fig
+
+
+def plot_extraction(cube, labeled, obj_id: int,
+                    title: Optional[str] = None,
+                    save_path: Optional[str] = None):
+    """Single-object extraction debug figure (nut_data.py:106-129): the
+    object's pixels in the RGB composite, everything else black, with a
+    yellow bounding box and the object id."""
+    plt = _plt()
+    from matplotlib.patches import Rectangle
+    from scipy import ndimage
+
+    rgb_vis = _rgb_composite(cube)
+    labeled = np.asarray(labeled)
+    mask = labeled == obj_id
+    rgb_masked = np.zeros_like(rgb_vis)
+    if mask.any():
+        rgb_masked[mask] = rgb_vis[mask]
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.imshow(rgb_masked)
+    ax.axis("off")
+    ax.set_title(title or f"object {obj_id}")
+    slices = ndimage.find_objects(labeled, max_label=obj_id)
+    sl = slices[obj_id - 1] if slices else None
+    if sl is not None:
+        y0, x0 = sl[0].start, sl[1].start
+        h, w = sl[0].stop - y0, sl[1].stop - x0
+        ax.add_patch(Rectangle((x0, y0), w, h, linewidth=1,
+                               edgecolor="yellow", facecolor="none"))
+        ax.text(x0, y0, str(obj_id), color="yellow", fontsize=8)
+    if save_path:
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return save_path
+    return fig
+
+
+def plot_t2q_interactive(t2_red, q_red, labels=None,
+                         d_limit: float = np.sqrt(2.0),
+                         decision_type: str = "alt",
+                         title: str = "T2-Q acceptance plane",
+                         save_path: Optional[str] = None):
+    """Interactive plotly T2-Q plane — the reference's
+    ``toplotT2Q_iterative`` twin (utils/SIMCA.py:310-381): per-class
+    hoverable scatter traces + the acceptance boundary curve, written to a
+    standalone HTML file when ``save_path`` is given.
+
+    plotly is an OPTIONAL dependency (not installed in this environment);
+    when absent this raises ImportError with a pointer to the matplotlib
+    twin ``plot_t2q``, which renders the same figure statically.
+    """
+    try:
+        import plotly.graph_objects as go
+    except ImportError as e:
+        raise ImportError(
+            "plotly is not installed; use ocm_tpu.utils.report.plot_t2q "
+            "for the matplotlib rendering of the same figure") from e
+
+    t2_red = np.asarray(t2_red)
+    q_red = np.asarray(q_red)
+    fig = go.Figure()
+    if labels is None:
+        fig.add_trace(go.Scatter(x=t2_red, y=q_red, mode="markers",
+                                 name="samples", opacity=0.6))
+    else:
+        labels = np.asarray(labels)
+        for cls in np.unique(labels):
+            m = labels == cls
+            fig.add_trace(go.Scatter(
+                x=t2_red[m], y=q_red[m], mode="markers",
+                name=f"class {cls}", opacity=0.6,
+                hovertemplate="T2red=%{x:.3f}<br>Qred=%{y:.3f}"))
+    a = np.linspace(0, d_limit, 200)
+    if decision_type == "alt":
+        boundary = np.sqrt(np.maximum(d_limit**2 - a**2, 0.0))
+    elif decision_type == "sim":
+        a = np.array([0, d_limit, d_limit])
+        boundary = np.array([d_limit, d_limit, 0])
+    else:
+        boundary = d_limit - a
+    fig.add_trace(go.Scatter(x=a, y=boundary, mode="lines",
+                             name="boundary", line=dict(dash="dash",
+                                                        color="red")))
+    fig.update_layout(title=title, xaxis_title="T2 / T2_lim",
+                      yaxis_title="Q / Q_lim")
+    if save_path:
+        fig.write_html(save_path)
+        return save_path
+    return fig

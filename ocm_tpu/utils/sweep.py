@@ -323,6 +323,28 @@ def random_search(objective: Callable[[dict], float], space: Mapping,
     return best_cfg, best_val, history
 
 
+def pruning_report(trial) -> Callable:
+    """Per-epoch pruning callback for ``train_vae_blocked`` from an
+    Optuna-style trial — the reference's mid-trial protocol
+    (``trial.report(loss, epoch)`` then prune, optim_bce_nuts.py:197-199).
+
+    Works with any object exposing ``report(value, step)`` and
+    ``should_prune() -> bool`` (fake trials in tests, real Optuna trials
+    when installed).  Usage::
+
+        from ocm_tpu.models.trainer import train_vae_blocked
+        r = train_vae_blocked(model, x_cal, x_val, cfg, rng,
+                              block_epochs=1, report=pruning_report(trial))
+
+    With ``block_epochs=1`` the cadence is exactly the reference's; larger
+    blocks amortize host round trips at the cost of pruning latency.
+    """
+    def report(epoch: int, train_loss: float, val_loss: float) -> bool:
+        trial.report(val_loss, epoch)
+        return bool(trial.should_prune())
+    return report
+
+
 def optuna_objective(objective: Callable[[dict], float], space: Mapping):
     """Wrap a config-dict objective as an Optuna objective (lazy import;
     mirrors trial.suggest_* usage of optim_bce_nuts.py:118-126)."""

@@ -191,3 +191,121 @@ def test_optuna_objective_wrapper_with_fake_trial():
     except ImportError:
         with pytest.raises(ImportError, match="random_search"):
             run_optuna_study(lambda c: 0.0, space, n_trials=1)
+
+
+def _sine_data(rng, n, length=40):
+    t = np.linspace(0, 1, length)
+    return (rng.normal(1, 0.06, (n, 1)) * np.sin(2 * np.pi * 3 * t)
+            + rng.normal(0, 0.02, (n, length))).astype(np.float32)
+
+
+def test_blocked_trainer_matches_monolithic():
+    """train_vae_blocked (k-epoch jitted blocks + host checkpoints) must
+    reproduce the monolithic train_vae trajectory exactly — the RNG folds
+    in the global epoch index, so blocking is invisible."""
+    import jax
+
+    from ocm_tpu.models.trainer import (TrainConfig, train_vae,
+                                        train_vae_blocked)
+    from ocm_tpu.models.vae import ConvVAE1D
+
+    rng = np.random.default_rng(11)
+    x_cal, x_val = _sine_data(rng, 96), _sine_data(rng, 32)
+    model = ConvVAE1D(input_length=40, latent_dim=4, conv_blocks=2,
+                      n_filters=8, hidden_fc=32)
+    cfg = TrainConfig(epochs=7, batch_size=32, lr=2e-3, loss_type="euclidean")
+
+    mono = train_vae(model, x_cal, x_val, cfg, jax.random.key(0))
+    blocked = train_vae_blocked(model, x_cal, x_val, cfg, jax.random.key(0),
+                                block_epochs=3)
+
+    np.testing.assert_allclose(np.asarray(blocked.train_losses),
+                               np.asarray(mono.train_losses), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(blocked.val_losses),
+                               np.asarray(mono.val_losses), rtol=1e-6)
+    assert int(blocked.best_epoch) == int(mono.best_epoch)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-6),
+        blocked.bundle.params, mono.bundle.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-6),
+        blocked.final_params, mono.final_params)
+
+
+def test_blocked_trainer_prunes_mid_run():
+    """A fake Optuna trial actually cuts a bad trial short mid-run
+    (the reference's trial.report/TrialPruned loop,
+    optim_bce_nuts.py:197-199)."""
+    import jax
+
+    from ocm_tpu.models.trainer import TrainConfig, train_vae_blocked
+    from ocm_tpu.models.vae import ConvVAE1D
+    from ocm_tpu.utils.sweep import pruning_report
+
+    class FakePruningTrial:
+        """Prunes as soon as 3 values are reported."""
+
+        def __init__(self):
+            self.reported = []
+
+        def report(self, value, step):
+            self.reported.append((step, value))
+
+        def should_prune(self):
+            return len(self.reported) >= 3
+
+    rng = np.random.default_rng(12)
+    x_cal, x_val = _sine_data(rng, 64), _sine_data(rng, 32)
+    model = ConvVAE1D(input_length=40, latent_dim=4, conv_blocks=2,
+                      n_filters=8, hidden_fc=32)
+    cfg = TrainConfig(epochs=50, batch_size=32, lr=2e-3,
+                      loss_type="euclidean")
+
+    trial = FakePruningTrial()
+    r = train_vae_blocked(model, x_cal, x_val, cfg, jax.random.key(0),
+                          block_epochs=2, report=pruning_report(trial))
+    # pruned at epoch index 2 (3rd report) — nowhere near 50 epochs
+    assert len(np.asarray(r.val_losses)) == 3
+    assert [s for s, _ in trial.reported] == [0, 1, 2]
+    assert r.bundle is not None            # best checkpoint of epochs 0-2
+    assert int(r.best_epoch) <= 2
+
+
+def test_segmentation_and_extraction_figures(tmp_path):
+    """Per-image segmentation/extraction debug figures
+    (nut_data.py:75-129)."""
+    from ocm_tpu.utils.io import segment_cube
+    from ocm_tpu.utils.report import plot_extraction, plot_segmentation
+
+    cube = np.zeros((16, 16, 10), dtype=np.float32)
+    cube[2:6, 2:6, :] = 1.0
+    cube[10:13, 9:14, :] = 2.0
+    labeled, n = segment_cube(cube, 0.5)
+    assert n == 2
+    p1 = plot_segmentation(cube, labeled, n,
+                           save_path=str(tmp_path / "seg.png"))
+    p2 = plot_extraction(cube, labeled, 2,
+                         save_path=str(tmp_path / "ext.png"))
+    assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
+
+
+def test_plot_t2q_interactive_gated():
+    """The plotly twin either renders (plotly present) or raises a clean
+    ImportError pointing at the matplotlib fallback."""
+    from ocm_tpu.utils.report import plot_t2q_interactive
+
+    t2 = np.abs(np.random.default_rng(0).normal(0.5, 0.2, 30))
+    q = np.abs(np.random.default_rng(1).normal(0.5, 0.2, 30))
+    try:
+        import plotly  # noqa: F401
+        has_plotly = True
+    except ImportError:
+        has_plotly = False
+    if has_plotly:
+        fig = plot_t2q_interactive(t2, q, labels=np.repeat([0, 1], 15))
+        assert len(fig.data) == 3          # 2 classes + boundary
+    else:
+        with pytest.raises(ImportError, match="plot_t2q"):
+            plot_t2q_interactive(t2, q)
