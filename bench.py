@@ -34,13 +34,22 @@ def make_data(seed=0, n_cal=700, length=500, n_classes=3, n_score=98304):
     return cals, xs
 
 
-def bench_tpu(cals, xs, k=10, repeats=5, inner_iters=8):
+def bench_tpu(cals, xs, k=10, repeats=5, inner_iters=64):
     """Steady-state device time per fit+score workload.
 
     The workload repeats ``inner_iters`` times INSIDE one compiled program
     (each iteration on index-perturbed data so nothing folds away) —
     host<->device round-trip latency is paid once and amortized, so the
     measurement reflects device throughput, not interconnect RTT.
+    ``inner_iters`` must keep total device work well above the ~30 ms
+    dispatch round trip of the hosted-TPU tunnel, or the measurement floors
+    at RTT/inner_iters (measured; see docs/BENCHMARKS.md methodology).
+
+    The fit uses ``solver='rsvd'`` — the GEMM-only randomized subspace
+    fit (ocm_tpu.ops.linalg.pca_topk_cov), the TPU production path: a
+    dense decomposition lowers to a QDWH while-loop chain (~37 ms for
+    this 3-class batch on one chip) where the rsvd fit is ~0.5 ms of MXU
+    work with identical decisions (tests/test_simca.py).
     """
     import jax
     import jax.numpy as jnp
@@ -49,7 +58,7 @@ def bench_tpu(cals, xs, k=10, repeats=5, inner_iters=8):
 
     stacked = jnp.asarray(np.stack(cals), jnp.float32)   # (C, n, L)
     xs_d = jnp.asarray(xs, jnp.float32)
-    fit_fn = jax.vmap(lambda xc: fit_simca(xc, k))
+    fit_fn = jax.vmap(lambda xc: fit_simca(xc, k, solver="rsvd"))
 
     def run():
         def body(i, acc):

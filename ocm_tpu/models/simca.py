@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ocm_tpu.ops.linalg import cov, pca_fit, pinv_psd, t2_q_scores
+from ocm_tpu.ops.linalg import (cov, deflated_thetas, pca_fit, pca_topk_cov,
+                                pinv_psd, t2_q_scores)
 from ocm_tpu.stats import limits as L
 from ocm_tpu.stats.metrics import conformity_metrics
 
@@ -53,8 +54,29 @@ class SIMCAModel(NamedTuple):
 def fit_simca(x_cls, n_components: int, decision_type: str = "alt",
               t2_method: str = "Fdist", q_method: str = "jm",
               t2_cl: float = 0.95, q_cl: float = 0.95, d_cl: float = 0.95,
-              dtype=None) -> SIMCAModel:
-    """Fit one single-class SIMCA model (utils/SIMCA.py:62-99) in one SVD."""
+              dtype=None, solver: str = "svd", oversample: int = 10,
+              subspace_iters: int = 8) -> SIMCAModel:
+    """Fit one single-class SIMCA model (utils/SIMCA.py:62-99) in one
+    decomposition.
+
+    solver='svd' (default) reproduces sklearn's full SVD bit-for-bit —
+    the strict reference-parity path.  solver='rsvd' computes only the
+    top-(k + oversample) eigenpairs of the covariance by GEMM-only
+    randomized subspace iteration (ops.linalg.pca_topk_cov) with the
+    residual moments recovered by exact deflation — the TPU production
+    path: a dense (500, 500) decomposition lowers to a ~12 ms QDWH
+    while-loop chain per class on one chip, while the rsvd fit is pure MXU
+    work (< 0.2 ms); decisions agree with the svd fit (tests/test_simca.py).
+    ``SIMCAModel.eigenvalues`` holds the full spectrum for 'svd' and the
+    top-(k + oversample) spectrum for 'rsvd'.
+    """
+    if solver == "rsvd":
+        return _fit_simca_rsvd(x_cls, n_components, decision_type,
+                               t2_method, q_method, t2_cl, q_cl, d_cl,
+                               dtype, oversample, subspace_iters)
+    if solver != "svd":
+        raise ValueError(f"unknown solver {solver!r}; expected 'svd' or"
+                         " 'rsvd'")
     fit = pca_fit(x_cls, dtype=dtype)
     t = fit.scores[:, :n_components]
     p = fit.components[:n_components]
@@ -77,6 +99,45 @@ def fit_simca(x_cls, n_components: int, decision_type: str = "alt",
         eigenvalues=fit.eigenvalues, t2_res=t2_res, q_res=q_res,
         d_limit=d_limit, t2_train=t2, q_train=q,
         n_samples=jnp.asarray(x_cls.shape[0]),
+    )
+
+
+def _fit_simca_rsvd(x_cls, n_components, decision_type, t2_method, q_method,
+                    t2_cl, q_cl, d_cl, dtype, oversample, subspace_iters):
+    """GEMM-only SIMCA fit: randomized top-k PCA + deflated residual
+    moments.  Same statistics as the svd path to float tolerance on data
+    with a decaying spectrum; within degenerate eigenvalue clusters the
+    basis differs by a rotation, to which T2/Q/limits are invariant."""
+    if dtype is not None:
+        x_cls = x_cls.astype(dtype)
+    n, length = x_cls.shape
+    s = min(n_components + oversample, length, n - 1)
+    mean = jnp.mean(x_cls, axis=0)
+    xc = x_cls - mean[None, :]
+    # covariance and scores at full f32 matmul precision: the deflated
+    # residual moments and the Q statistics live ~1e-2 below the leading
+    # eigenvalue, which the TPU MXU's default bf16-mantissa passes perturb
+    # at ~4e-3 relative (see ops.linalg.pca_topk_cov)
+    with jax.default_matmul_precision("highest"):
+        c = (xc.T @ xc) / (n - 1.0)
+        eigenvalues, eigvecs = pca_topk_cov(c, s, iters=subspace_iters)
+        p = eigvecs[:, :n_components].T
+        t = xc @ p.T
+    invcovT = pinv_psd(cov(t))
+    t2 = jnp.einsum("ij,jk,ik->i", t, invcovT, t)
+    q = jnp.maximum(jnp.sum(xc * xc, axis=-1) - jnp.sum(t * t, axis=-1), 0.0)
+
+    thetas = deflated_thetas(c, eigenvalues, eigvecs, n_components)
+    t2_res = L.t2_limit(t2, n_components, t2_method, t2_cl)
+    q_res = L.q_limit(q, q_method, q_cl, thetas=thetas)
+    d_limit = L.critical_distance(decision_type, t2_res, q_res,
+                                  n_components=n_components, thetas=thetas,
+                                  dcl=d_cl)
+    return SIMCAModel(
+        mean=mean, components=p, invcovT=invcovT,
+        eigenvalues=eigenvalues, t2_res=t2_res, q_res=q_res,
+        d_limit=d_limit, t2_train=t2, q_train=q,
+        n_samples=jnp.asarray(n),
     )
 
 
@@ -331,7 +392,8 @@ class SIMCA:
     def __init__(self, n_components=2, model_class=None, type: str = "alt",
                  t2lim="Fdist", t2cl=0.95, qlim="jm", qcl=0.95, dcl=0.95,
                  maxPC=20, criteria="compl", verbose=True, dtype=None,
-                 compat_dd_shared_state=True):
+                 compat_dd_shared_state=True, solver="svd"):
+        self.solver = solver
         self.n_components = n_components
         self.model_class = model_class
         self.type = type
@@ -352,7 +414,7 @@ class SIMCA:
         return {k: getattr(self, k) for k in (
             "n_components", "model_class", "type", "t2lim", "t2cl", "qlim",
             "qcl", "dcl", "maxPC", "criteria", "verbose", "dtype",
-            "compat_dd_shared_state")}
+            "compat_dd_shared_state", "solver")}
 
     def set_params(self, **params):
         for k, v in params.items():
@@ -398,7 +460,8 @@ class SIMCA:
                     f"[1, min(n_samples, n_features)] = [1, {max_k}]")
             self._model[cls] = fit_simca(
                 jnp.asarray(x_cls), ncomp[i], self.type, self.t2lim,
-                self.qlim, self.t2cl, self.qcl, self.dcl, dtype=self.dtype)
+                self.qlim, self.t2cl, self.qcl, self.dcl, dtype=self.dtype,
+                solver=self.solver)
         self.n_features_in_ = X.shape[1]
         self.is_fitted_ = True
         return self

@@ -219,3 +219,107 @@ def test_predict_classes_fused_matches_per_class(rng, dt, t2m, qm):
     np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_v),
                                rtol=1e-9, atol=1e-9)
     np.testing.assert_array_equal(np.asarray(a_f), np.asarray(a_v))
+
+
+def make_multirank_spectra(rng, n, length, n_modes=8):
+    """Spectra with ``n_modes`` well-separated principal directions
+    (geometrically decaying mode amplitudes) — every top-k eigenvalue has a
+    clear gap, so randomized and dense solvers must agree tightly."""
+    t = np.linspace(0, 1, length)
+    modes = np.stack([np.sin(2 * np.pi * (2 + j) * t + 0.3 * j)
+                      for j in range(n_modes)])
+    amps = rng.normal(1.0, 0.3, size=(n, n_modes)) * \
+        (0.7 ** np.arange(n_modes))[None, :]
+    return (amps @ modes + rng.normal(0, 1e-3, size=(n, length))
+            ).astype(np.float64)
+
+
+def test_rsvd_fit_matches_svd_separated_spectrum(rng):
+    """On data with gapped eigenvalues the GEMM-only rsvd fit reproduces
+    the dense-SVD fit: eigenvalues, loadings (sign convention included),
+    train statistics, limits and out-of-class decisions."""
+    x_in = make_multirank_spectra(rng, 200, 90)
+    x_out = make_multirank_spectra(rng, 50, 90) + 0.4
+    k = 5
+    for t2m, qm in [("Fdist", "jm"), ("perc", "perc"),
+                    ("chi2pom", "chi2pom")]:
+        m_svd = simca.fit_simca(jnp.asarray(x_in), k, "alt", t2m, qm)
+        m_rs = simca.fit_simca(jnp.asarray(x_in), k, "alt", t2m, qm,
+                               solver="rsvd")
+        np.testing.assert_allclose(np.asarray(m_rs.eigenvalues[:k]),
+                                   np.asarray(m_svd.eigenvalues[:k]),
+                                   rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(m_rs.components),
+                                   np.asarray(m_svd.components),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(m_rs.t2_train),
+                                   np.asarray(m_svd.t2_train), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(m_rs.q_train),
+                                   np.asarray(m_svd.q_train), rtol=1e-3,
+                                   atol=1e-12)
+        assert float(m_rs.t2_res.limit) == pytest.approx(
+            float(m_svd.t2_res.limit), rel=1e-5)
+        assert float(m_rs.q_res.limit) == pytest.approx(
+            float(m_svd.q_res.limit), rel=1e-3)
+        a_svd, *_ = simca.simca_decide(m_svd, jnp.asarray(x_out))
+        a_rs, *_ = simca.simca_decide(m_rs, jnp.asarray(x_out))
+        np.testing.assert_array_equal(np.asarray(a_svd), np.asarray(a_rs))
+
+
+def test_rsvd_fit_degenerate_tail_invariants(class_data):
+    """On one-strong-mode + iid-noise spectra the top-k basis beyond the
+    first component is an arbitrary rotation of a near-degenerate cluster
+    (true for ANY solver).  Rotation-invariant quantities must still agree
+    with the dense fit: leading eigenvalue, residual moments (deflation vs
+    full spectrum), theta-based limits, and accept/reject decisions."""
+    x_in, x_out = class_data
+    k = 6
+    m_svd = simca.fit_simca(jnp.asarray(x_in), k, "alt", "Fdist", "jm")
+    m_rs = simca.fit_simca(jnp.asarray(x_in), k, "alt", "Fdist", "jm",
+                           solver="rsvd")
+    np.testing.assert_allclose(np.asarray(m_rs.eigenvalues[0]),
+                               np.asarray(m_svd.eigenvalues[0]), rtol=1e-9)
+    # partial traces over the (rotation-ambiguous) top-k cluster
+    np.testing.assert_allclose(float(jnp.sum(m_rs.eigenvalues[:k])),
+                               float(jnp.sum(m_svd.eigenvalues[:k])),
+                               rtol=1e-4)
+    assert float(m_rs.q_res.limit) == pytest.approx(
+        float(m_svd.q_res.limit), rel=2e-2)
+    assert float(m_rs.t2_res.limit) == pytest.approx(
+        float(m_svd.t2_res.limit), rel=1e-6)
+    for x_eval in (x_in, x_out):
+        a_svd, *_ = simca.simca_decide(m_svd, jnp.asarray(x_eval))
+        a_rs, *_ = simca.simca_decide(m_rs, jnp.asarray(x_eval))
+        assert np.mean(np.asarray(a_svd) == np.asarray(a_rs)) >= 0.99
+
+
+def test_deflated_thetas_match_full_spectrum(rng):
+    """theta_m from covariance deflation == theta_m from the full spectrum
+    (exact trace identities), across k."""
+    from ocm_tpu.ops.linalg import deflated_thetas, pca_topk_cov
+    from ocm_tpu.stats import limits as L
+
+    x = make_multirank_spectra(rng, 120, 60)
+    xc = x - x.mean(0)
+    c = jnp.asarray(xc.T @ xc / (x.shape[0] - 1.0))
+    full, fvecs = np.linalg.eigh(np.asarray(c))
+    full = full[::-1]
+    fvecs = fvecs[:, ::-1]
+    # (a) with EXACT eigenpairs the trace identities are exact for any k,
+    # including cuts inside the degenerate noise cluster
+    for k in (2, 5, 9):
+        ref = L.residual_thetas(jnp.asarray(full), k)
+        got = deflated_thetas(c, jnp.asarray(full[:16]),
+                              jnp.asarray(fvecs[:, :16]), k)
+        for r, g in zip(ref, got):
+            assert float(g) == pytest.approx(float(r), rel=1e-6, abs=1e-18)
+    # (b) with rsvd eigenpairs they hold tightly while k stays within the
+    # gapped part of the spectrum (the production regime); a cut inside the
+    # noise floor is only approximate (Ritz values of a random subspace of
+    # a degenerate cluster sit slightly below the true ones)
+    vals, vecs = pca_topk_cov(c, 16)
+    for k in (2, 5):
+        ref = L.residual_thetas(jnp.asarray(full), k)
+        got = deflated_thetas(c, vals, vecs, k)
+        for r, g in zip(ref, got):
+            assert float(g) == pytest.approx(float(r), rel=1e-5, abs=1e-18)
