@@ -44,6 +44,7 @@ import numpy as np
 
 from ocm_tpu.models.simca import (SIMCA, MaskedPCA, masked_pca_eig,
                                   masked_q_limit, masked_t2_limit)
+from ocm_tpu.ops.linalg import deflated_thetas, pca_topk_cov
 from ocm_tpu.stats import limits as L
 
 
@@ -143,15 +144,18 @@ def fold_masks(y, cls_label, n_splits: int, shuffle: bool = False,
 # The batched (folds x LV) solve.
 # ---------------------------------------------------------------------------
 
-def _lv_metrics(pca: MaskedPCA, t_train, t_all, xc2_train, xc2_all,
+def _lv_metrics(pca: MaskedPCA, thetas, t_train, t_all, xc2_train, xc2_all,
                 w_train, held_mask, other_mask, k,
                 decision_type: str, t2_method: str, q_method: str,
                 t2_cl: float, q_cl: float, d_cl: float):
     """Decide + score one (fold, LV) cell from the shared decomposition.
 
-    ``t_train``/``t_all`` are full-rank score matrices (one GEMM per fold,
-    reused across every LV); ``xc2_*`` the row norms of the centered data;
-    ``k`` the traced LV count.
+    ``t_train``/``t_all`` are score matrices over the decomposition's
+    retained directions (one GEMM per fold, reused across every LV);
+    ``xc2_*`` the row norms of the centered data; ``k`` the traced LV
+    count; ``thetas`` the residual eigenvalue moments for this k (full
+    spectrum sums on the eigh path, covariance deflation on the rsvd
+    path).
     """
     r = pca.eigenvalues.shape[0]
     comp = jnp.arange(r) < k
@@ -166,7 +170,6 @@ def _lv_metrics(pca: MaskedPCA, t_train, t_all, xc2_train, xc2_all,
         xc2_train - jnp.sum(jnp.where(comp[None, :], t_train * t_train, 0.0),
                             axis=1), 0.0)
 
-    thetas = L.residual_thetas(lam, k, max_rank=pca.max_rank)
     t2_res = masked_t2_limit(t2_train, w_train, pca.n, k, t2_method, t2_cl)
     q_res = masked_q_limit(q_train, w_train, pca.n, q_method, q_cl, thetas)
     d_limit = L.critical_distance(decision_type, t2_res, q_res,
@@ -198,7 +201,8 @@ def cv_simca_sweep(x, y, cls_label, lv_values: Sequence[int],
                    t2_cl: float = 0.95, q_cl: float = 0.95,
                    d_cl: float = 0.95, shuffle: bool = False,
                    random_state: Optional[int] = None,
-                   convert: bool = True):
+                   convert: bool = True, solver: str = "eigh",
+                   oversample: int = 10, subspace_iters: int = 8):
     """All (fold x LV) fits of one preprocessing combo in one jitted program.
 
     Returns dict with per-LV aggregates matching utils/CVSIMCA.py:203-208:
@@ -206,6 +210,14 @@ def cv_simca_sweep(x, y, cls_label, lv_values: Sequence[int],
     pooled prediction matrix ``pred`` (L, N) (target samples from their own
     held-out fold, other-class samples from the LAST fold, matching the
     reference's overwrite semantics).
+
+    ``solver='eigh'`` (default) decomposes each fold's masked covariance
+    densely — the strict parity path.  ``solver='rsvd'`` retains only the
+    top-(max LV + oversample) eigenpairs via the GEMM-only randomized
+    subspace iteration (ops.linalg.pca_topk_cov) with per-LV residual
+    moments from covariance deflation — on TPU the dense eigh dominates
+    the whole sweep (QDWH while-loop chains; docs/BENCHMARKS.md), so this
+    is the production path for large sweeps.
     """
     x = jnp.asarray(x)
     y_np = np.asarray(y)
@@ -214,12 +226,17 @@ def cv_simca_sweep(x, y, cls_label, lv_values: Sequence[int],
     if decision_type == "dd":
         t2_method = "chi2pom"
         q_method = "chi2pom"
+    if solver not in ("eigh", "rsvd"):
+        raise ValueError(f"unknown solver {solver!r}; expected 'eigh' or"
+                         " 'rsvd'")
+    n_sub = min(int(max(lv_values)) + oversample, x.shape[1])
     out = _cv_sweep_jit(x, jnp.asarray(train_np), jnp.asarray(held_np),
                         jnp.asarray(y_np != cls_label),
                         jnp.asarray(list(lv_values), dtype=jnp.int32),
                         decision_type=decision_type, t2_method=t2_method,
                         q_method=q_method, t2_cl=t2_cl, q_cl=q_cl,
-                        d_cl=d_cl)
+                        d_cl=d_cl, solver=solver, n_sub=n_sub,
+                        subspace_iters=subspace_iters)
     if not convert:
         # leave results on device (callers composing further device work,
         # or environments where per-array D2H round trips dominate)
@@ -228,25 +245,46 @@ def cv_simca_sweep(x, y, cls_label, lv_values: Sequence[int],
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "decision_type", "t2_method", "q_method", "t2_cl", "q_cl", "d_cl"))
+    "decision_type", "t2_method", "q_method", "t2_cl", "q_cl", "d_cl",
+    "solver", "n_sub", "subspace_iters"))
 def _cv_sweep_jit(x, train_m, held_m, other_m, lvs, *, decision_type,
-                  t2_method, q_method, t2_cl, q_cl, d_cl):
+                  t2_method, q_method, t2_cl, q_cl, d_cl, solver="eigh",
+                  n_sub=0, subspace_iters=8):
     """Cached compiled (fold x LV) solve — module-level jit so repeated
     sweeps (grid combos, benchmarks) reuse the compilation."""
 
     def per_fold(w_train_b, held_b):
         w = w_train_b.astype(x.dtype)
-        pca = masked_pca_eig(x, w_train_b)
+        if solver == "rsvd":
+            # GEMM-only masked fit: covariance at full f32 matmul precision
+            # (TPU default bf16 passes corrupt the residual moments — see
+            # ops.linalg.pca_topk_cov), then randomized top-(max LV +
+            # oversample) eigenpairs; per-LV thetas by deflation.
+            n_eff = jnp.sum(w)
+            with jax.default_matmul_precision("highest"):
+                mean = jnp.sum(x * w[:, None], axis=0) / n_eff
+                xc_w = (x - mean[None, :]) * w[:, None]
+                c = (xc_w.T @ xc_w) / (n_eff - 1.0)
+                vals, vecs = pca_topk_cov(c, n_sub, iters=subspace_iters)
+            max_rank = jnp.minimum(n_eff, x.shape[1]).astype(jnp.int32)
+            pca = MaskedPCA(mean, vecs, vals, n_eff, max_rank)
+            thetas_of = lambda k: deflated_thetas(c, vals, vecs, k)
+        else:
+            pca = masked_pca_eig(x, w_train_b)
+            thetas_of = lambda k: L.residual_thetas(
+                pca.eigenvalues, k, max_rank=pca.max_rank)
         xc = x - pca.mean[None, :]
-        t_all = xc @ pca.eigvec          # one GEMM, shared by every LV
+        with jax.default_matmul_precision("highest"):
+            t_all = xc @ pca.eigvec      # one GEMM, shared by every LV
         t_train = t_all * w[:, None]
         xc2_all = jnp.sum(xc * xc, axis=1)
         xc2_train = xc2_all * w
 
         def per_lv(k):
-            return _lv_metrics(pca, t_train, t_all, xc2_train, xc2_all,
-                               w, held_b, other_m, k, decision_type,
-                               t2_method, q_method, t2_cl, q_cl, d_cl)
+            return _lv_metrics(pca, thetas_of(k), t_train, t_all,
+                               xc2_train, xc2_all, w, held_b, other_m, k,
+                               decision_type, t2_method, q_method, t2_cl,
+                               q_cl, d_cl)
 
         return jax.vmap(per_lv)(lvs)     # (L, ...) per fold
 
@@ -318,13 +356,18 @@ def cross_validate_simca_grid(estimator: SIMCA, X, y, cv,
         params = {**estimator.get_params(), **combo}
         lv_values = ([int(params["n_components"])] if grid_includes_ncomp
                      else list(range(LV_min, LV_max + 1)))
+        # the estimator's solver choice carries into the sweep: 'rsvd'
+        # selects the GEMM-only randomized fits; 'svd' (dense default)
+        # maps to the sweep's dense masked eigh (identical spectrum)
+        sweep_solver = "rsvd" if params.get("solver") == "rsvd" else "eigh"
         sweep = cv_simca_sweep(
             X, y, cls_label, lv_values, n_splits=cv.get_n_splits(X, y),
             decision_type=params["type"], t2_method=params["t2lim"],
             q_method=params["qlim"], t2_cl=params["t2cl"],
             q_cl=params["qcl"], d_cl=params["dcl"],
             shuffle=getattr(cv, "shuffle", False),
-            random_state=getattr(cv, "random_state", None))
+            random_state=getattr(cv, "random_state", None),
+            solver=sweep_solver)
         for j, lv in enumerate(lv_values):
             rec = {"params": dict(combo), "LV": lv,
                    "spec": float(sweep["spec"][j]),

@@ -263,7 +263,11 @@ def masked_pca_eig(x, w) -> MaskedPCA:
     n = jnp.sum(w)
     mean = jnp.sum(x * w[:, None], axis=0) / n
     xc = (x - mean[None, :]) * w[:, None]
-    c = (xc.T @ xc) / (n - 1.0)
+    # full f32 matmul precision: the TPU MXU's default bf16-mantissa passes
+    # perturb the covariance at ~4e-3 relative, visibly shifting the
+    # residual eigenvalue moments and hence the theta-based Q limits
+    with jax.default_matmul_precision("highest"):
+        c = (xc.T @ xc) / (n - 1.0)
     eigval, eigvec = jnp.linalg.eigh(c)
     eigval = eigval[::-1]
     eigvec = eigvec[:, ::-1]

@@ -174,10 +174,12 @@ def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
         xc2_all = jnp.sum(xc * xc, axis=1)
 
         def per_lv(k):
-            return cv_mod._lv_metrics(pca, t_train, t_all, xc2_all * w,
-                                      xc2_all, w, held_b, other_m, k,
-                                      decision_type, t2_method, q_method,
-                                      t2_cl, q_cl, d_cl)
+            thetas = L.residual_thetas(pca.eigenvalues, k,
+                                       max_rank=pca.max_rank)
+            return cv_mod._lv_metrics(pca, thetas, t_train, t_all,
+                                      xc2_all * w, xc2_all, w, held_b,
+                                      other_m, k, decision_type, t2_method,
+                                      q_method, t2_cl, q_cl, d_cl)
 
         return jax.vmap(per_lv)(lvs)
 

@@ -183,3 +183,40 @@ def test_grid_rejects_bad_metric(dataset):
     cv = ClasswiseKFoldWithExternalVal(n_splits=4, cls_label=0)
     with pytest.raises(ValueError):
         cross_validate_simca_grid(est, x, y, cv, refit_metric="f1")
+
+
+def test_sweep_rsvd_matches_eigh(dataset):
+    """The GEMM-only rsvd CV sweep reproduces the dense-eigh sweep.
+
+    On gapped multi-mode spectra the per-(fold, LV) metrics must agree
+    essentially exactly; on the standard one-mode dataset (degenerate
+    noise tail — inherently rotation-ambiguous) the aggregate metrics
+    must stay within the limits' own sampling tolerance."""
+    from test_simca import make_multirank_spectra
+
+    rng = np.random.default_rng(5)
+    xg = np.concatenate([make_multirank_spectra(rng, 80, 64),
+                         make_multirank_spectra(rng, 30, 64) + 0.5])
+    yg = np.concatenate([np.zeros(80), np.ones(30)]).astype(int)
+    lvs = [2, 3, 4, 5]
+    eigh_out = cv_simca_sweep(xg, yg, 0, lvs, n_splits=4)
+    rsvd_out = cv_simca_sweep(xg, yg, 0, lvs, n_splits=4, solver="rsvd")
+    np.testing.assert_allclose(rsvd_out["spec"], eigh_out["spec"],
+                               atol=1e-8)
+    np.testing.assert_allclose(rsvd_out["sens"], eigh_out["sens"],
+                               atol=1e-8)
+    np.testing.assert_array_equal(rsvd_out["pred"], eigh_out["pred"])
+
+    x, y = dataset
+    lvs = [2, 4, 6]
+    eigh_out = cv_simca_sweep(x, y, 0, lvs, n_splits=5)
+    rsvd_out = cv_simca_sweep(x, y, 0, lvs, n_splits=5, solver="rsvd")
+    assert np.mean(rsvd_out["pred"] == eigh_out["pred"]) >= 0.97
+    np.testing.assert_allclose(rsvd_out["spec"], eigh_out["spec"], atol=6.0)
+    np.testing.assert_allclose(rsvd_out["sens"], eigh_out["sens"], atol=6.0)
+
+
+def test_sweep_rejects_bad_solver(dataset):
+    x, y = dataset
+    with pytest.raises(ValueError, match="solver"):
+        cv_simca_sweep(x, y, 0, [2, 3], n_splits=4, solver="qr")
