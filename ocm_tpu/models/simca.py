@@ -216,20 +216,29 @@ def fit_classes(x, classes, class_labels, n_components: int, **kwargs):
 
 
 def predict_classes(models: SIMCAModel, x, decision_type: str = "alt",
-                    fused: bool = True):
+                    fused: bool = True, x_offset=None):
     """Score one batch against C stacked models: (C, N) accept matrix.
 
     ``fused=True`` (default) computes ALL classes from one GEMM / one HBM
     pass over x (ops.linalg.t2_q_scores_multiclass — measured ~C-fold
     traffic reduction on the scoring roofline); ``fused=False`` keeps the
     per-class vmap, the formulation used for single-model scoring.
+
+    Spectra passed in bfloat16 stay bfloat16 through the streaming read
+    (serving fast path: half the HBM traffic, f32 accumulation and
+    statistics); for accuracy, bf16 batches should be PRE-CENTERED: store
+    ``x - x_offset`` (f32 reference spectrum, e.g. the mean of the class
+    means) in bf16 and pass ``x_offset`` — see
+    ops.linalg.t2_q_scores_multiclass.  Any other dtype is cast to the
+    model dtype.
     """
     if fused:
         from ocm_tpu.ops.linalg import t2_q_scores_multiclass
 
-        x = x.astype(models.mean.dtype)
+        if x.dtype != jnp.bfloat16:
+            x = x.astype(models.mean.dtype)
         t2, q, _ = t2_q_scores_multiclass(x, models.mean, models.components,
-                                          models.invcovT)
+                                          models.invcovT, x_offset=x_offset)
         dred = jax.vmap(
             lambda t2c, qc, tr, qr: L.reduced_distance(
                 decision_type, t2c, qc, tr, qr)

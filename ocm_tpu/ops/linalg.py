@@ -209,7 +209,7 @@ def t2_q_scores(x, mean, components, invcovT):
     return t2, q, t
 
 
-def t2_q_scores_multiclass(x, means, components, invcovs):
+def t2_q_scores_multiclass(x, means, components, invcovs, x_offset=None):
     """T^2 and Q of ``x`` (N, L) against C class models in ONE pass over x.
 
     The per-class formulation (vmap of ``t2_q_scores``) streams the (N, L)
@@ -229,19 +229,39 @@ def t2_q_scores_multiclass(x, means, components, invcovs):
 
     means: (C, L); components: (C, k, L); invcovs: (C, k, k).
     Returns t2 (C, N), q (C, N), t (C, N, k).
+
+    Serving in bf16: the path is memory-bound (it streams the spectra at
+    ~65% of HBM bandwidth, docs/BENCHMARKS.md roofline), so passing ``x``
+    already STORED as bfloat16 halves the streamed bytes; the GEMM runs
+    with bf16 operands and f32 accumulation and every statistic stays f32.
+    Quantizing RAW spectra is lossy where the common mode dominates: the
+    injected ||e||^2 can rival tight Q limits (measured: decision flips
+    well inside the boundary).  The principled form is PRE-CENTERED
+    serving — store ``x - x_offset`` in bf16 for a fixed f32 reference
+    spectrum ``x_offset`` (e.g. the mean of the class means) and pass
+    ``x_offset``: quantization error then scales with the small residual,
+    and the offset folds into the class means algebraically
+    (``t_c = x P_c^T - (m_c - x_offset) P_c^T`` etc.), so decisions match
+    the f32 path to ~1e-3 (tests/test_simca.py).  Nothing is cast
+    implicitly — callers opt in by storing x in bf16.
     """
+    if x_offset is not None:
+        means = means - x_offset[None, :]
     n_classes, k, length = components.shape
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
     w = jnp.concatenate([components.reshape(n_classes * k, length).T,
                          means.T], axis=1)            # (L, C*k + C)
-    g = x @ w                                         # ONE pass over x
+    g = jnp.dot(x, w.astype(x.dtype),
+                preferred_element_type=acc_dtype)     # ONE pass over x
     xp = g[:, :n_classes * k].reshape(-1, n_classes, k)
     xp = jnp.transpose(xp, (1, 0, 2))                 # (C, N, k) = x P_c^T
     xm = g[:, n_classes * k:].T                       # (C, N)    = x . m_c
-    x2 = jnp.sum(x * x, axis=-1)                      # (N,)
+    x32 = x.astype(acc_dtype)
+    x2 = jnp.sum(x32 * x32, axis=-1)                  # (N,) f32 accumulate
     mp = jnp.einsum("cl,ckl->ck", means, components)  # (C, k) = m_c P_c^T
-    t = xp - mp[:, None, :]
+    t = xp - mp[:, None, :].astype(acc_dtype)
     m2 = jnp.sum(means * means, axis=-1)              # (C,)
     q = jnp.maximum(x2[None, :] - 2.0 * xm + m2[:, None]
                     - jnp.sum(t * t, axis=-1), 0.0)
-    t2 = jnp.einsum("cnj,cjk,cnk->cn", t, invcovs, t)
+    t2 = jnp.einsum("cnj,cjk,cnk->cn", t, invcovs.astype(acc_dtype), t)
     return t2, q, t

@@ -323,3 +323,41 @@ def test_deflated_thetas_match_full_spectrum(rng):
         got = deflated_thetas(c, vals, vecs, k)
         for r, g in zip(ref, got):
             assert float(g) == pytest.approx(float(r), rel=1e-5, abs=1e-18)
+
+
+def test_predict_classes_bf16_serving_path(rng):
+    """Spectra stored in bfloat16 stream through the fused scorer without
+    an implicit upcast; statistics accumulate in f32 and decisions agree
+    with the f32 path at the ~99% level — flips are confined to samples
+    near the acceptance boundary, the inherent cost of 8-bit-mantissa
+    input quantization (the serving fast path: the scoring GEMM is
+    memory-bound, bf16 storage halves the streamed bytes)."""
+    xs = [make_class_spectra(rng, 70, 40, center_shift=s).astype(np.float32)
+          for s in (0.0, 1.2)]
+    x = np.concatenate(xs)
+    classes = np.repeat([0, 1], 70)
+    models = simca.fit_classes(jnp.asarray(x), classes, [0, 1], 4)
+    x_new = jnp.asarray(np.concatenate(
+        [make_class_spectra(rng, 60, 40, center_shift=s) for s in
+         (0.0, 1.2, 3.0)]).astype(np.float32))
+
+    a32, d32, t32, q32 = simca.predict_classes(models, x_new)
+    a16, d16, t16, q16 = simca.predict_classes(models,
+                                               x_new.astype(jnp.bfloat16))
+    # outputs stay full precision (accumulation dtype), not bf16
+    assert d16.dtype in (jnp.float32, jnp.float64)
+    scale = float(jnp.max(t32))
+    np.testing.assert_allclose(np.asarray(t16), np.asarray(t32),
+                               atol=2e-2 * scale)
+    agree = np.mean(np.asarray(a16) == np.asarray(a32))
+    assert agree >= 0.95          # raw-x quantization: lossy but close
+
+    # PRE-CENTERED bf16 serving: quantize the residual against a fixed
+    # reference spectrum and fold the offset into the class means — the
+    # accurate fast path
+    mu0 = jnp.mean(models.mean, axis=0)
+    xc16 = (x_new - mu0[None, :]).astype(jnp.bfloat16)
+    a16c, d16c, t16c, _ = simca.predict_classes(models, xc16, x_offset=mu0)
+    assert np.mean(np.asarray(a16c) == np.asarray(a32)) >= 0.995
+    np.testing.assert_allclose(np.asarray(d16c), np.asarray(d32),
+                               atol=5e-3 * float(jnp.max(d32)))
