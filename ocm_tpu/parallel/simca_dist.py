@@ -24,7 +24,7 @@ from jax import shard_map
 
 from ocm_tpu.models.simca import (SIMCAModel, masked_q_limit,
                                   masked_t2_limit)
-from ocm_tpu.ops.linalg import pinv_psd
+from ocm_tpu.ops.linalg import deflated_thetas, pca_topk_cov, pinv_psd
 from ocm_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
 from ocm_tpu.stats import limits as L
 
@@ -33,11 +33,20 @@ def fit_simca_sharded(x, w, n_components: int, mesh: Mesh,
                       decision_type: str = "alt", t2_method: str = "Fdist",
                       q_method: str = "jm", t2_cl: float = 0.95,
                       q_cl: float = 0.95, d_cl: float = 0.95,
-                      axis: str = DATA_AXIS) -> SIMCAModel:
+                      axis: str = DATA_AXIS, solver: str = "eigh",
+                      oversample: int = 10,
+                      subspace_iters: int = 8) -> SIMCAModel:
     """Masked SIMCA fit with the sample axis sharded over ``mesh[axis]``.
 
     ``x``: (N, L) with N divisible by the axis size; ``w``: (N,) row mask
     (0 = padding/excluded).  Returns a fully-replicated SIMCAModel.
+
+    ``solver='rsvd'`` replaces the replicated dense eigh of the psum'd
+    covariance with the GEMM-only randomized subspace fit — on hardware
+    the dense eigh dominates the whole sharded fit (TPU QDWH while-loop
+    chains, docs/BENCHMARKS.md), and it runs REPLICATED on every chip, so
+    its cost does not shrink with the mesh; the rsvd fit removes that
+    serial term.  Residual moments come from covariance deflation.
     """
     x = jnp.asarray(x)
     w = jnp.asarray(w, x.dtype)
@@ -49,16 +58,22 @@ def fit_simca_sharded(x, w, n_components: int, mesh: Mesh,
         sum_x = jax.lax.psum(jnp.sum(x_loc * w_loc[:, None], axis=0), axis)
         mean = sum_x / n
         xc = (x_loc - mean[None, :]) * w_loc[:, None]
-        gram = jax.lax.psum(xc.T @ xc, axis)          # (L, L) cross-chip
-        c = gram / (n - 1.0)
+        with jax.default_matmul_precision("highest"):
+            gram = jax.lax.psum(xc.T @ xc, axis)      # (L, L) cross-chip
+            c = gram / (n - 1.0)
 
-        # ---- replicated eigendecomposition ------------------------------
-        eigval, eigvec = jnp.linalg.eigh(c)
-        eigval = jnp.maximum(eigval[::-1], 0.0)
-        eigvec = eigvec[:, ::-1]
-        max_abs_idx = jnp.argmax(jnp.abs(eigvec), axis=0)
-        signs = jnp.sign(eigvec[max_abs_idx, jnp.arange(eigvec.shape[1])])
-        eigvec = eigvec * jnp.where(signs == 0, 1.0, signs)[None, :]
+        # ---- replicated (chip-local) decomposition ----------------------
+        if solver == "rsvd":
+            s_sub = min(n_components + oversample, n_features)
+            eigval, eigvec = pca_topk_cov(c, s_sub, iters=subspace_iters)
+        else:
+            eigval, eigvec = jnp.linalg.eigh(c)
+            eigval = jnp.maximum(eigval[::-1], 0.0)
+            eigvec = eigvec[:, ::-1]
+            max_abs_idx = jnp.argmax(jnp.abs(eigvec), axis=0)
+            signs = jnp.sign(eigvec[max_abs_idx,
+                                    jnp.arange(eigvec.shape[1])])
+            eigvec = eigvec * jnp.where(signs == 0, 1.0, signs)[None, :]
         p = eigvec[:, :n_components].T
 
         # ---- sharded scores, psum score covariance ----------------------
@@ -76,7 +91,11 @@ def fit_simca_sharded(x, w, n_components: int, mesh: Mesh,
         q_all = jax.lax.all_gather(q_loc, axis, tiled=True)
         w_all = jax.lax.all_gather(w_loc, axis, tiled=True)
         max_rank = jnp.minimum(n, n_features).astype(jnp.int32)
-        thetas = L.residual_thetas(eigval, n_components, max_rank=max_rank)
+        if solver == "rsvd":
+            thetas = deflated_thetas(c, eigval, eigvec, n_components)
+        else:
+            thetas = L.residual_thetas(eigval, n_components,
+                                       max_rank=max_rank)
         t2_res = masked_t2_limit(t2_all, w_all, n, n_components,
                                  t2_method, t2_cl)
         q_res = masked_q_limit(q_all, w_all, n, q_method, q_cl, thetas)
@@ -162,21 +181,37 @@ def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
     t2_cl = kwargs.pop("t2_cl", 0.95)
     q_cl = kwargs.pop("q_cl", 0.95)
     d_cl = kwargs.pop("d_cl", 0.95)
+    solver = kwargs.pop("solver", "eigh")
+    oversample = kwargs.pop("oversample", 10)
+    subspace_iters = kwargs.pop("subspace_iters", 8)
+    n_sub = min(int(max(lv_values)) + oversample, x.shape[1])
 
-    from ocm_tpu.models.simca import masked_pca_eig
+    from ocm_tpu.models.simca import MaskedPCA, masked_pca_eig
 
     def per_fold(w_train_b, held_b):
         w = w_train_b.astype(x.dtype)
-        pca = masked_pca_eig(x, w_train_b)
+        if solver == "rsvd":
+            n_eff = jnp.sum(w)
+            with jax.default_matmul_precision("highest"):
+                mean = jnp.sum(x * w[:, None], axis=0) / n_eff
+                xc_w = (x - mean[None, :]) * w[:, None]
+                c = (xc_w.T @ xc_w) / (n_eff - 1.0)
+                vals, vecs = pca_topk_cov(c, n_sub, iters=subspace_iters)
+            max_rank = jnp.minimum(n_eff, x.shape[1]).astype(jnp.int32)
+            pca = MaskedPCA(mean, vecs, vals, n_eff, max_rank)
+            thetas_of = lambda k: deflated_thetas(c, vals, vecs, k)
+        else:
+            pca = masked_pca_eig(x, w_train_b)
+            thetas_of = lambda k: L.residual_thetas(
+                pca.eigenvalues, k, max_rank=pca.max_rank)
         xc = x - pca.mean[None, :]
-        t_all = xc @ pca.eigvec
+        with jax.default_matmul_precision("highest"):
+            t_all = xc @ pca.eigvec
         t_train = t_all * w[:, None]
         xc2_all = jnp.sum(xc * xc, axis=1)
 
         def per_lv(k):
-            thetas = L.residual_thetas(pca.eigenvalues, k,
-                                       max_rank=pca.max_rank)
-            return cv_mod._lv_metrics(pca, thetas, t_train, t_all,
+            return cv_mod._lv_metrics(pca, thetas_of(k), t_train, t_all,
                                       xc2_all * w, xc2_all, w, held_b,
                                       other_m, k, decision_type, t2_method,
                                       q_method, t2_cl, q_cl, d_cl)
@@ -209,7 +244,8 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
                         data_axis: str = "data", decision_type: str = "alt",
                         t2_method: str = "Fdist", q_method: str = "jm",
                         t2_cl: float = 0.95, q_cl: float = 0.95,
-                        d_cl: float = 0.95):
+                        d_cl: float = 0.95, solver: str = "eigh",
+                        oversample: int = 10, subspace_iters: int = 8):
     """CV sweep on a 2-D mesh: folds shard over ``model_axis`` AND the
     sample axis shards over ``data_axis`` — the full SURVEY.md 5.8 layout.
 
@@ -267,14 +303,21 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
                                  data_axis)
             mean = sum_x / n_f
             xc_w = (x_loc - mean[None, :]) * w[:, None]
-            gram = jax.lax.psum(xc_w.T @ xc_w, data_axis)
-            c = gram / (n_f - 1.0)
-            eigval, eigvec = jnp.linalg.eigh(c)
-            eigval = jnp.maximum(eigval[::-1], 0.0)
-            eigvec = eigvec[:, ::-1]
-            idx = jnp.argmax(jnp.abs(eigvec), axis=0)
-            signs = jnp.sign(eigvec[idx, jnp.arange(eigvec.shape[1])])
-            eigvec = eigvec * jnp.where(signs == 0, 1.0, signs)[None, :]
+            with jax.default_matmul_precision("highest"):
+                gram = jax.lax.psum(xc_w.T @ xc_w, data_axis)
+                c = gram / (n_f - 1.0)
+            if solver == "rsvd":
+                n_sub = min(int(max(lv_values)) + oversample, n_features)
+                eigval, eigvec = pca_topk_cov(c, n_sub,
+                                              iters=subspace_iters)
+            else:
+                eigval, eigvec = jnp.linalg.eigh(c)
+                eigval = jnp.maximum(eigval[::-1], 0.0)
+                eigvec = eigvec[:, ::-1]
+                idx = jnp.argmax(jnp.abs(eigvec), axis=0)
+                signs = jnp.sign(eigvec[idx, jnp.arange(eigvec.shape[1])])
+                eigvec = eigvec * jnp.where(signs == 0, 1.0,
+                                            signs)[None, :]
 
             xc = x_loc - mean[None, :]
             t_all = xc @ eigvec                       # local scores
@@ -298,7 +341,11 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
                         axis=1), 0.0)
                 t2_g = jax.lax.all_gather(t2_loc * w, data_axis, tiled=True)
                 q_g = jax.lax.all_gather(q_loc * w, data_axis, tiled=True)
-                thetas = L.residual_thetas(eigval, k, max_rank=max_rank)
+                if solver == "rsvd":
+                    thetas = deflated_thetas(c, eigval, eigvec, k)
+                else:
+                    thetas = L.residual_thetas(eigval, k,
+                                               max_rank=max_rank)
                 t2_res = masked_t2_limit(t2_g, w_g, n_f, k, t2_method,
                                          t2_cl)
                 q_res = masked_q_limit(q_g, w_g, n_f, q_method, q_cl,

@@ -182,3 +182,56 @@ def test_cv_sweep_2d_auto_padding(cls_data):
     np.testing.assert_allclose(got["spec"], want["spec"], atol=1e-8)
     np.testing.assert_allclose(got["sens"], want["sens"], atol=1e-8)
     assert got["pred"].shape == want["pred"].shape
+
+
+def test_sharded_fit_rsvd_matches_dense_rsvd(mesh, cls_data):
+    """The psum-accumulated covariance + GEMM-only randomized fit equals
+    the single-device rsvd fit: same covariance, same deterministic
+    subspace iteration (fixed seed), so statistics agree to float
+    tolerance."""
+    from ocm_tpu.models.simca import fit_simca
+
+    x, n_true = pad_to_multiple(cls_data, 8)
+    w = (np.arange(x.shape[0]) < n_true).astype(np.float64)
+    m_dist = fit_simca_sharded(x, w, 5, mesh, solver="rsvd")
+    m_ref = fit_simca(jnp.asarray(cls_data), 5, solver="rsvd")
+    np.testing.assert_allclose(np.asarray(m_dist.mean),
+                               np.asarray(m_ref.mean), atol=1e-12)
+    np.testing.assert_allclose(float(m_dist.t2_res.limit),
+                               float(m_ref.t2_res.limit), rtol=1e-6)
+    np.testing.assert_allclose(float(m_dist.q_res.limit),
+                               float(m_ref.q_res.limit), rtol=1e-6)
+    rng = np.random.default_rng(9)
+    x_new = make_class_spectra(rng, 40, 40, center_shift=0.6)
+    a_d, *_ = simca_decide(m_dist, jnp.asarray(x_new), "alt")
+    a_r, *_ = simca_decide(m_ref, jnp.asarray(x_new), "alt")
+    np.testing.assert_array_equal(np.asarray(a_d), np.asarray(a_r))
+
+
+def test_cv_sweep_sharded_rsvd_matches_local_rsvd(cls_data):
+    rng = np.random.default_rng(5)
+    x_other = make_class_spectra(rng, 40, 40, center_shift=1.5)
+    x = np.concatenate([cls_data, x_other])
+    y = np.concatenate([np.zeros(len(cls_data)), np.ones(len(x_other))])
+    mesh = make_mesh((8,), ("model",))
+    lvs = [2, 4, 6]
+    got = cv_sweep_sharded(x, y, 0, lvs, mesh, n_splits=8, solver="rsvd")
+    want = cv_simca_sweep(x, y, 0, lvs, n_splits=8, solver="rsvd")
+    np.testing.assert_allclose(got["spec"], want["spec"], atol=1e-8)
+    np.testing.assert_allclose(got["sens"], want["sens"], atol=1e-8)
+
+
+def test_cv_sweep_2d_rsvd_matches_local_rsvd(cls_data):
+    from ocm_tpu.parallel.simca_dist import cv_sweep_sharded_2d
+
+    rng = np.random.default_rng(7)
+    x_other = make_class_spectra(rng, 40, 40, center_shift=1.5)
+    x = np.concatenate([cls_data, x_other])
+    y = np.concatenate([np.zeros(len(cls_data)), np.ones(len(x_other))])
+    mesh = make_mesh((4, 2), ("model", "data"))
+    lvs = [2, 4]
+    got = cv_sweep_sharded_2d(x, y, 0, lvs, mesh, n_splits=4,
+                              solver="rsvd")
+    want = cv_simca_sweep(x, y, 0, lvs, n_splits=4, solver="rsvd")
+    np.testing.assert_allclose(got["spec"], want["spec"], atol=1e-8)
+    np.testing.assert_allclose(got["sens"], want["sens"], atol=1e-8)
