@@ -148,11 +148,12 @@ def simca_scores(model: SIMCAModel, x, use_pallas: bool = False):
     (ocm_tpu.ops.kernels.t2_q_scores_pallas) — same math, zero HBM
     intermediates; prefer it for very large scoring batches on TPU.
     """
-    x = x.astype(model.mean.dtype)
+    if x.dtype != jnp.bfloat16:
+        x = x.astype(model.mean.dtype)
     if use_pallas:
         from ocm_tpu.ops.kernels import t2_q_scores_pallas
-        return t2_q_scores_pallas(x, model.mean, model.components,
-                                  model.invcovT)
+        return t2_q_scores_pallas(x.astype(model.mean.dtype), model.mean,
+                                  model.components, model.invcovT)
     t2, q, _ = t2_q_scores(x, model.mean, model.components, model.invcovT)
     return t2, q
 

@@ -130,7 +130,10 @@ def _latent_roundtrip_q(model: ConvVAE1D, bundle: OCMBundle, z,
         x_hat_std = standardize(bundle, x_hat_std)
     z_hat, _ = model.apply(variables, x_hat_std, train=False,
                            method=ConvVAE1D.encode)
-    return jnp.sum((z - z_hat) ** 2, axis=1)
+    # residual in f32 even under a reduced-precision (bf16) serving model:
+    # Q feeds the acceptance limits, which live at f32 scale
+    acc = jnp.promote_types(z.dtype, jnp.float32)
+    return jnp.sum((z.astype(acc) - z_hat.astype(acc)) ** 2, axis=1)
 
 
 def fit_vaesimca(model: ConvVAE1D, bundle: OCMBundle, x_cal,
@@ -192,7 +195,11 @@ def predict_vaesimca(model: ConvVAE1D, bundle: OCMBundle,
 
     x = jnp.asarray(x)
     mu, _ = encode(model, bundle, x)
-    t2 = mahalanobis_sq(mu, vs.latent_mean, vs.invcovT)
+    # decision statistics in f32 regardless of the network compute dtype:
+    # a bf16 serving twin (ConvVAE1D(..., dtype=jnp.bfloat16) over the
+    # same bundle) feeds bf16 latents, but T2/Q/limit comparisons stay f32
+    mu32 = mu.astype(jnp.promote_types(mu.dtype, jnp.float32))
+    t2 = mahalanobis_sq(mu32, vs.latent_mean, vs.invcovT)
     q = _latent_roundtrip_q(model, bundle, mu, compat_double_standardize)
     if decision_type == "alt":
         d = jnp.sqrt((t2 / vs.t2_limit) ** 2 + (q / vs.q_limit) ** 2)

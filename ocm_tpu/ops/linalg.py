@@ -201,11 +201,24 @@ def t2_q_scores(x, mean, components, invcovT):
     FLOPs and 1/3 the HBM traffic.  Equality is exact in real arithmetic and
     holds to float tolerance (tests/test_simca.py).
     """
-    xc = x - mean[None, :]
-    t = xc @ components.T
-    q = jnp.sum(xc * xc, axis=-1) - jnp.sum(t * t, axis=-1)
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    if x.dtype == jnp.bfloat16:
+        # serving fast path: keep the streamed operand bf16 through the
+        # GEMM (f32 accumulation).  Callers must pre-center (store
+        # ``x - mean`` with a mean-zero model view): centering IN bf16
+        # would quantize the large common mode — see
+        # t2_q_scores_multiclass for the measured failure.
+        xc = x - mean.astype(x.dtype)[None, :]
+        t = jnp.dot(xc, components.T.astype(x.dtype),
+                    preferred_element_type=acc)
+        xc32 = xc.astype(acc)
+        q = jnp.sum(xc32 * xc32, axis=-1) - jnp.sum(t * t, axis=-1)
+    else:
+        xc = x - mean[None, :]
+        t = xc @ components.T
+        q = jnp.sum(xc * xc, axis=-1) - jnp.sum(t * t, axis=-1)
     q = jnp.maximum(q, 0.0)
-    t2 = jnp.einsum("ij,jk,ik->i", t, invcovT, t)
+    t2 = jnp.einsum("ij,jk,ik->i", t, invcovT.astype(acc), t)
     return t2, q, t
 
 

@@ -75,15 +75,46 @@ class _ChunkedScorer:
 
 
 class SIMCAScorer(_ChunkedScorer):
-    """Resident classical-SIMCA conformity scorer."""
+    """Resident classical-SIMCA conformity scorer.
+
+    ``store_dtype=jnp.bfloat16`` enables the bandwidth-halving serving
+    path: each chunk is centered by the model mean in f32 ON THE HOST and
+    shipped/streamed as the bf16 residual (quantization error then scales
+    with the small residual, not the spectrum's common mode — see
+    ops.linalg.t2_q_scores_multiclass), scored against a mean-zero view of
+    the model with f32 accumulation.  Measured 1.9x scoring throughput
+    with decisions unchanged on the headline workload
+    (docs/BENCHMARKS.md).
+    """
 
     def __init__(self, model: SIMCAModel, decision_type: str = "alt",
-                 chunk_size: int = 8192, mesh=None):
+                 chunk_size: int = 8192, mesh=None, store_dtype=None):
+        self._center = None
+        scoring_model = model
+        if store_dtype is not None:
+            if jnp.dtype(store_dtype) != jnp.dtype(jnp.bfloat16):
+                raise ValueError("store_dtype supports only jnp.bfloat16")
+            self._center = np.asarray(model.mean, np.float32)
+            scoring_model = model._replace(
+                mean=jnp.zeros_like(model.mean))
+            self._store_dtype = store_dtype
+
         def decide(xc):
-            accept, dred, t2, q = simca_decide(model, xc, decision_type)
+            accept, dred, t2, q = simca_decide(scoring_model, xc,
+                                               decision_type)
             return {"accept": accept, "dred": dred, "t2": t2, "q": q}
 
         super().__init__(decide, chunk_size, mesh)
+
+    def score(self, x) -> dict:
+        if self._center is not None:
+            import ml_dtypes
+
+            # center in f32 on the host, ship bf16 residuals: halves the
+            # host->device transfer AND the device-side streaming read
+            x = (np.asarray(x, np.float32) - self._center[None, :]
+                 ).astype(ml_dtypes.bfloat16)
+        return super().score(x)
 
 
 class VAEScorer(_ChunkedScorer):
@@ -97,8 +128,15 @@ class VAEScorer(_ChunkedScorer):
     def __init__(self, model: ConvVAE1D, bundle: OCMBundle,
                  variant: str = "d2", loss_type: str = "cosine",
                  chunk_size: int = 8192, mesh=None, vaesimca_model=None,
-                 decision_type: str = "alt"):
+                 decision_type: str = "alt", compute_dtype=None):
         from ocm_tpu.models import vae_decision as D
+
+        if compute_dtype is not None:
+            # reduced-precision serving twin: same params/bundle, network
+            # compute in ``compute_dtype`` (e.g. jnp.bfloat16 — conv GEMMs
+            # on the MXU's native tier); all decision statistics stay f32
+            # (models.vaesimca/vae_decision upcast latents before T2/Q)
+            model = model.clone(dtype=compute_dtype)
 
         if variant == "vaesimca":
             if vaesimca_model is None:

@@ -132,3 +132,35 @@ def test_vae_scorer_vaesimca_variant(vae_bundle):
     np.testing.assert_allclose(out["t2"], np.asarray(t2_ref), rtol=1e-5)
     with pytest.raises(ValueError, match="vaesimca_model"):
         VAEScorer(model, bundle, variant="vaesimca")
+
+
+def test_simca_scorer_bf16_store(simca_model):
+    """store_dtype=bf16: host-side f32 centering + bf16 residual shipping;
+    decisions match the f32 scorer (quantization error scales with the
+    residual, not the common mode)."""
+    model, x_new = simca_model
+    s32 = SIMCAScorer(model, chunk_size=64)
+    s16 = SIMCAScorer(model, chunk_size=64, store_dtype=jnp.bfloat16)
+    r32 = s32.score(x_new)
+    r16 = s16.score(x_new)
+    assert np.mean(r32["accept"] == r16["accept"]) >= 0.995
+    np.testing.assert_allclose(
+        r16["dred"], r32["dred"],
+        atol=3e-2 * float(np.abs(r32["dred"]).max()))
+    with pytest.raises(ValueError, match="bfloat16"):
+        SIMCAScorer(model, store_dtype=jnp.float16)
+
+
+def test_vae_scorer_bf16_twin(vae_bundle):
+    """compute_dtype=bf16 builds a reduced-precision serving twin over the
+    same bundle; decision statistics stay full precision and decisions
+    track the f32 scorer."""
+    model, bundle, x = vae_bundle
+    s32 = VAEScorer(model, bundle, variant="d2", chunk_size=64)
+    s16 = VAEScorer(model, bundle, variant="d2", chunk_size=64,
+                    compute_dtype=jnp.bfloat16)
+    r32 = s32.score(x)
+    r16 = s16.score(x)
+    assert all(v.dtype.itemsize >= 4 for k, v in r16.items()
+               if k != "accept")
+    assert np.mean(r32["accept"] == r16["accept"]) >= 0.98
