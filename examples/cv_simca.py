@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(lv_min=2, lv_max=12, n_splits=5, refit_metric="eff",
+def main(lv_min=2, lv_max=12, n_splits=5, refit_metric="eff", solver="svd",
          out_dir="out/cv_simca"):
     from ocm_tpu.models.cv import (ClasswiseKFoldWithExternalVal,
                                    cross_validate_simca_grid)
@@ -33,7 +33,7 @@ def main(lv_min=2, lv_max=12, n_splits=5, refit_metric="eff",
     x_tr = np.asarray(savgol_filter(jnp.asarray(x_tr), 15, 2, 1))
 
     est = SIMCA(model_class=0, type="alt", t2lim="Fdist", qlim="jm",
-                verbose=False)
+                verbose=False, solver=solver)
     cv = ClasswiseKFoldWithExternalVal(n_splits=n_splits, cls_label=0)
     res = cross_validate_simca_grid(
         est, x_tr, y_tr, cv, LV_min=lv_min, LV_max=lv_max,
@@ -56,4 +56,7 @@ if __name__ == "__main__":
     p.add_argument("--refit-metric", default="eff",
                    choices=["eff", "spec", "sens"])
     p.add_argument("--out-dir", default="out/cv_simca")
+    p.add_argument("--solver", default="svd", choices=["svd", "rsvd"],
+                   help="'rsvd' = GEMM-only randomized fits (TPU "
+                        "production path; 16x sweep throughput)")
     main(**vars(p.parse_args()))

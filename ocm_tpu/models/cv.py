@@ -44,7 +44,8 @@ import numpy as np
 
 from ocm_tpu.models.simca import (SIMCA, MaskedPCA, masked_pca_eig,
                                   masked_q_limit, masked_t2_limit)
-from ocm_tpu.ops.linalg import deflated_thetas, pca_topk_cov
+from ocm_tpu.ops.linalg import (deflated_theta_tables, pca_topk_cov,
+                                thetas_from_tables)
 from ocm_tpu.stats import limits as L
 
 
@@ -268,7 +269,9 @@ def _cv_sweep_jit(x, train_m, held_m, other_m, lvs, *, decision_type,
                 vals, vecs = pca_topk_cov(c, n_sub, iters=subspace_iters)
             max_rank = jnp.minimum(n_eff, x.shape[1]).astype(jnp.int32)
             pca = MaskedPCA(mean, vecs, vals, n_eff, max_rank)
-            thetas_of = lambda k: deflated_thetas(c, vals, vecs, k)
+            # O(s) per-LV residual moments from once-per-fold tables
+            tab = deflated_theta_tables(c, vals, vecs)
+            thetas_of = lambda k: thetas_from_tables(tab, k)
         else:
             pca = masked_pca_eig(x, w_train_b)
             thetas_of = lambda k: L.residual_thetas(

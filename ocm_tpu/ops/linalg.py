@@ -183,6 +183,70 @@ def deflated_thetas(c, eigenvalues, eigvecs, n_components):
     return th1, th2, th3
 
 
+class ThetaTables(NamedTuple):
+    """Per-decomposition tables for O(s) residual moments at ANY cut k.
+
+    Built once per covariance from the FULLY deflated residual
+    ``R = C - V diag(lam) V^T`` (all s directions removed):
+    ``C_res(k) = R + sum_{j >= k} lam_j v_j v_j^T``, so the trace powers
+    expand into R's scalar invariants plus masked sums over per-direction
+    tables — no (L, L) matmul per LV.  Numerically safe where the naive
+    ``tr(C^m) - partial sums`` form is not: the leading eigenvalue is
+    always inside R's elementwise deflation, so no lambda_1-scale
+    cancellation ever happens; the added-back terms live at the
+    lambda_{k+1} scale, the same order as the moments themselves.
+    """
+
+    tr1: jnp.ndarray    # tr(R)
+    tr2: jnp.ndarray    # ||R||_F^2 = tr(R^2)
+    tr3: jnp.ndarray    # tr(R^3)
+    lam: jnp.ndarray    # (s,) clamped eigenvalues
+    ryy: jnp.ndarray    # (s,) ||R v_j||^2        = v_j^T R^2 v_j
+    vry: jnp.ndarray    # (s,) v_j^T R v_j
+
+
+def deflated_theta_tables(c, eigenvalues, eigvecs) -> ThetaTables:
+    """Precompute ``ThetaTables`` (three (L, L)-scale GEMMs, ONCE per
+    decomposition) so an LV sweep gets every k's residual moments from
+    masked sums (``thetas_from_tables``).  Replaces a per-(fold, LV)
+    ``deflated_thetas`` call whose tr(C_res^3) term costs an (L, L, L)
+    matmul per cell — measured 50 -> ~15 ms on the L=2000 5-fold x 14-LV
+    sweep (docs/BENCHMARKS.md)."""
+    lam = jnp.maximum(eigenvalues, 0.0)
+    with jax.default_matmul_precision("highest"):
+        v = eigvecs * jnp.sqrt(lam)[None, :]
+        r = c - v @ v.T
+        y = r @ eigvecs                       # (L, s)
+        tr1 = jnp.trace(r)
+        tr2 = jnp.sum(r * r)
+        tr3 = jnp.sum(r * (r @ r))
+        ryy = jnp.sum(y * y, axis=0)
+        vry = jnp.sum(eigvecs * y, axis=0)
+    return ThetaTables(tr1, tr2, tr3, lam, ryy, vry)
+
+
+def thetas_from_tables(tab: ThetaTables, n_components):
+    """Residual moments theta_1..3 beyond a (possibly traced) cut ``k``
+    from precomputed ``ThetaTables``: O(s) masked sums.
+
+    Expansion of tr((R + P)^m) with ``P = sum_{j >= k} lam_j v_j v_j^T``
+    and orthonormal V (so P^2 collapses to lam^2-weighted projectors):
+    theta_1 = tr(R) + sum lam; theta_2 = tr(R^2) + 2 sum lam*vRv +
+    sum lam^2; theta_3 = tr(R^3) + 3 sum lam*||Rv||^2 +
+    3 sum lam^2*vRv + sum lam^3.  Agrees with ``deflated_thetas`` to
+    float tolerance for every k (tests/test_simca.py).
+    """
+    s = tab.lam.shape[0]
+    add = jnp.arange(s) >= jnp.asarray(n_components)
+    lam = jnp.where(add, tab.lam, 0.0)
+    th1 = tab.tr1 + jnp.sum(lam)
+    th2 = tab.tr2 + 2.0 * jnp.sum(lam * tab.vry) + jnp.sum(lam * lam)
+    th3 = (tab.tr3 + 3.0 * jnp.sum(lam * tab.ryy)
+           + 3.0 * jnp.sum(lam * lam * tab.vry) + jnp.sum(lam ** 3))
+    return (jnp.maximum(th1, 0.0), jnp.maximum(th2, 0.0),
+            jnp.maximum(th3, 0.0))
+
+
 def mahalanobis_sq(x, mean, cov_inv):
     """Row-wise squared Mahalanobis distance (utils/SIMCA.py:70 einsum)."""
     d = x - mean[None, :]

@@ -24,7 +24,8 @@ from jax import shard_map
 
 from ocm_tpu.models.simca import (SIMCAModel, masked_q_limit,
                                   masked_t2_limit)
-from ocm_tpu.ops.linalg import deflated_thetas, pca_topk_cov, pinv_psd
+from ocm_tpu.ops.linalg import (deflated_theta_tables, deflated_thetas,
+                                pca_topk_cov, pinv_psd, thetas_from_tables)
 from ocm_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
 from ocm_tpu.stats import limits as L
 
@@ -199,7 +200,8 @@ def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
                 vals, vecs = pca_topk_cov(c, n_sub, iters=subspace_iters)
             max_rank = jnp.minimum(n_eff, x.shape[1]).astype(jnp.int32)
             pca = MaskedPCA(mean, vecs, vals, n_eff, max_rank)
-            thetas_of = lambda k: deflated_thetas(c, vals, vecs, k)
+            tab = deflated_theta_tables(c, vals, vecs)
+            thetas_of = lambda k: thetas_from_tables(tab, k)
         else:
             pca = masked_pca_eig(x, w_train_b)
             thetas_of = lambda k: L.residual_thetas(
@@ -310,6 +312,7 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
                 n_sub = min(int(max(lv_values)) + oversample, n_features)
                 eigval, eigvec = pca_topk_cov(c, n_sub,
                                               iters=subspace_iters)
+                theta_tab = deflated_theta_tables(c, eigval, eigvec)
             else:
                 eigval, eigvec = jnp.linalg.eigh(c)
                 eigval = jnp.maximum(eigval[::-1], 0.0)
@@ -342,7 +345,7 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
                 t2_g = jax.lax.all_gather(t2_loc * w, data_axis, tiled=True)
                 q_g = jax.lax.all_gather(q_loc * w, data_axis, tiled=True)
                 if solver == "rsvd":
-                    thetas = deflated_thetas(c, eigval, eigvec, k)
+                    thetas = thetas_from_tables(theta_tab, k)
                 else:
                     thetas = L.residual_thetas(eigval, k,
                                                max_rank=max_rank)

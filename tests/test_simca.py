@@ -361,3 +361,26 @@ def test_predict_classes_bf16_serving_path(rng):
     assert np.mean(np.asarray(a16c) == np.asarray(a32)) >= 0.995
     np.testing.assert_allclose(np.asarray(d16c), np.asarray(d32),
                                atol=5e-3 * float(jnp.max(d32)))
+
+
+def test_theta_tables_match_direct_deflation(rng):
+    """The O(s)-per-k table expansion equals direct covariance deflation
+    for every cut, including cuts inside the noise floor (both share the
+    same fully-deflated residual, so there is no lambda_1-scale
+    cancellation in either form)."""
+    from ocm_tpu.ops.linalg import (deflated_theta_tables, deflated_thetas,
+                                    pca_topk_cov, thetas_from_tables)
+
+    for maker in (make_multirank_spectra,
+                  lambda r, n, l: make_class_spectra(r, n, l)):
+        x = maker(rng, 130, 70)
+        xc = x - x.mean(0)
+        c = jnp.asarray(xc.T @ xc / (x.shape[0] - 1.0))
+        vals, vecs = pca_topk_cov(c, 16)
+        tab = deflated_theta_tables(c, vals, vecs)
+        for k in (1, 4, 9, 14):
+            direct = deflated_thetas(c, vals, vecs, k)
+            table = thetas_from_tables(tab, k)
+            for d, t in zip(direct, table):
+                assert float(t) == pytest.approx(float(d), rel=1e-8,
+                                                 abs=1e-20)
