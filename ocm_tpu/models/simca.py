@@ -340,17 +340,73 @@ def masked_q_limit(q, w, n, method: str, cl: float, thetas) -> L.LimitResult:
     return L.q_limit(q, method, cl, thetas=thetas)
 
 
+def _finish_masked_fit(x, w, n_components, decision_type, t2_method,
+                       q_method, t2_cl, q_cl, d_cl, pca: MaskedPCA,
+                       thetas) -> SIMCAModel:
+    """Scores + masked limit engines from a (possibly truncated)
+    decomposition — shared tail of the eigh and rsvd masked fits."""
+    w = w.astype(x.dtype)
+    n = pca.n
+    xc = (x - pca.mean[None, :]) * w[:, None]
+    p = pca.eigvec[:, :n_components].T
+    with jax.default_matmul_precision("highest"):
+        t = xc @ p.T
+    tm = jnp.sum(t * w[:, None], axis=0) / n
+    tc = (t - tm[None, :]) * w[:, None]
+    invcovT = pinv_psd((tc.T @ tc) / (n - 1.0))
+    t2 = jnp.einsum("ij,jk,ik->i", t, invcovT, t)
+    q = jnp.maximum(jnp.sum(xc * xc, axis=-1) - jnp.sum(t * t, axis=-1), 0.0)
+    t2_res = masked_t2_limit(t2, w, n, n_components, t2_method, t2_cl)
+    q_res = masked_q_limit(q, w, n, q_method, q_cl, thetas)
+    d_limit = L.critical_distance(decision_type, t2_res, q_res,
+                                  n_components=n_components, thetas=thetas,
+                                  dcl=d_cl)
+    return SIMCAModel(
+        mean=pca.mean, components=p, invcovT=invcovT,
+        eigenvalues=pca.eigenvalues, t2_res=t2_res, q_res=q_res,
+        d_limit=d_limit, t2_train=jnp.where(w > 0, t2, 0.0),
+        q_train=jnp.where(w > 0, q, 0.0),
+        n_samples=n.astype(jnp.int32),
+    )
+
+
 def fit_simca_masked(x, w, n_components: int, decision_type: str = "alt",
                      t2_method: str = "Fdist", q_method: str = "jm",
                      t2_cl: float = 0.95, q_cl: float = 0.95,
-                     d_cl: float = 0.95, max_rank=None) -> SIMCAModel:
+                     d_cl: float = 0.95, max_rank=None,
+                     solver: str = "eigh", oversample: int = 10,
+                     subspace_iters: int = 8) -> SIMCAModel:
     """Masked/weighted SIMCA fit: rows with w == 0 are excluded.
 
     Foundation of the batched CV engine: every (fold x class) fit shares one
     padded shape, so vmapping gives a single batched eigh + GEMM program.
     Matches ``fit_simca`` to float tolerance
     (tests/test_simca.py::test_masked_fit_matches_dense).
+
+    ``solver='rsvd'`` replaces the dense eigh of the masked covariance
+    with the GEMM-only randomized subspace fit (ops.linalg.pca_topk_cov +
+    covariance deflation for the residual moments) — the TPU production
+    path; ``fit_classes(..., solver='rsvd')`` reaches it for unequal
+    class sizes.
     """
+    if solver == "rsvd":
+        w_f = w.astype(x.dtype)
+        n_eff = jnp.sum(w_f)
+        with jax.default_matmul_precision("highest"):
+            mean = jnp.sum(x * w_f[:, None], axis=0) / n_eff
+            xc_w = (x - mean[None, :]) * w_f[:, None]
+            c = (xc_w.T @ xc_w) / (n_eff - 1.0)
+            s_sub = min(n_components + oversample, x.shape[1])
+            vals, vecs = pca_topk_cov(c, s_sub, iters=subspace_iters)
+        mrank = jnp.minimum(n_eff, x.shape[1]).astype(jnp.int32)             if max_rank is None else jnp.asarray(max_rank)
+        pca = MaskedPCA(mean, vecs, vals, n_eff, mrank)
+        thetas = deflated_thetas(c, vals, vecs, n_components)
+        return _finish_masked_fit(x, w, n_components, decision_type,
+                                  t2_method, q_method, t2_cl, q_cl, d_cl,
+                                  pca, thetas)
+    elif solver != "eigh":
+        raise ValueError(f"unknown solver {solver!r}; expected 'eigh' or"
+                         " 'rsvd'")
     pca = masked_pca_eig(x, w)
     w = w.astype(x.dtype)
     n = pca.n

