@@ -34,8 +34,9 @@ def main(n_spectra=200_000, length=288, n_components=10):
     x_cal, n_true = pad_to_multiple(x_cal, n_dev)
     w = (np.arange(x_cal.shape[0]) < n_true).astype(np.float32)
 
-    model = fit_simca_sharded(x_cal, w, n_components, mesh)
-    print(f"fitted: T2lim={float(model.t2_res.limit):.3f} "
+    model = fit_simca_sharded(x_cal, w, n_components, mesh,
+                              solver="rsvd")
+    print(f"fitted (rsvd): T2lim={float(model.t2_res.limit):.3f} "
           f"Qlim={float(model.q_res.limit):.5f}")
 
     x_big = (rng.normal(1, 0.3, (n_spectra, 1)) * base
@@ -51,6 +52,21 @@ def main(n_spectra=200_000, length=288, n_components=10):
     print(f"scored {x_big.shape[0]:,} spectra in {dt * 1e3:.1f} ms "
           f"({x_big.shape[0] / dt / 1e6:.2f} M spectra/s), "
           f"accept rate {float(jnp.mean(accept)):.3f}")
+
+    # serving fast path: host-centered bf16 residual streaming
+    # (ocm_tpu/serving.py; decisions match f32 — docs/BENCHMARKS.md)
+    from ocm_tpu.serving import SIMCAScorer
+
+    scorer = SIMCAScorer(model, chunk_size=x_big.shape[0] // n_dev,
+                         store_dtype=jnp.bfloat16)
+    out = scorer.score(x_big)          # warm + check
+    agree = float(np.mean(out["accept"] == np.asarray(accept)))
+    t0 = time.perf_counter()
+    out = scorer.score(x_big)
+    dt16 = time.perf_counter() - t0
+    print(f"bf16 serving scorer: {x_big.shape[0] / dt16 / 1e6:.2f} M "
+          f"spectra/s end-to-end (host center+ship included), "
+          f"decision agreement vs f32 {agree:.4f}")
 
 
 if __name__ == "__main__":

@@ -145,6 +145,16 @@ def pca_topk_cov(c, n_vectors: int, iters: int = 8, seed: int = 7):
         q = sym_orthonormalize(c @ omega)
         q = jax.lax.fori_loop(
             0, iters, lambda _, qi: sym_orthonormalize(c @ qi), q)
+        # double Loewdin at Rayleigh-Ritz only: power iteration is
+        # self-correcting mid-loop, but the extraction basis must be
+        # orthonormal even when the subspace Gram is ill-conditioned
+        # (one pass drifts when the spectral ratio exceeds
+        # ~sqrt(1/clamp); the second pass on the conditioned output
+        # restores machine precision — CholeskyQR2's argument).  Exactly
+        # rank-deficient tails keep near-duplicate directions with
+        # near-zero Ritz weight — harmless downstream
+        # (tests/test_properties.py).
+        q = sym_orthonormalize(q)
         b = q.T @ (c @ q)
         w, v = jnp.linalg.eigh(0.5 * (b + b.T))
         w = jnp.maximum(w[::-1], 0.0)

@@ -109,3 +109,54 @@ def test_fit_scale_equivariance(fitted):
     np.testing.assert_allclose(np.asarray(q_2), 9.0 * np.asarray(q_1),
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+@pytest.mark.parametrize("spectrum", ["decay", "flat", "cluster", "rank1"])
+def test_pca_topk_cov_invariants(spectrum):
+    """Structural invariants of the randomized top-k engine across
+    qualitatively different spectra: orthonormal vectors, descending
+    nonnegative Ritz values never above lambda_1, eigen-residual small in
+    the gapped region, and residual moments exactly consistent between
+    the direct deflation and the table expansion."""
+    from ocm_tpu.ops.linalg import (deflated_theta_tables, deflated_thetas,
+                                    pca_topk_cov, thetas_from_tables)
+
+    rng = np.random.default_rng(hash(spectrum) % (2 ** 31))
+    l, s = 60, 12
+    q, _ = np.linalg.qr(rng.normal(size=(l, l)))
+    if spectrum == "decay":
+        lam = 2.0 ** -np.arange(l, dtype=float)
+    elif spectrum == "flat":
+        lam = np.full(l, 0.3)
+    elif spectrum == "cluster":
+        lam = np.concatenate([np.full(3, 5.0), np.full(l - 3, 1e-3)])
+    else:
+        lam = np.concatenate([[10.0], np.full(l - 1, 1e-7)])
+    c = jnp.asarray((q * lam) @ q.T)
+    vals, vecs = pca_topk_cov(c, s)
+    vals = np.asarray(vals)
+    vecs = np.asarray(vecs)
+
+    # orthonormality is guaranteed for directions carrying spectral
+    # weight; an exactly rank-deficient tail (rank1 case) cannot yield
+    # extra orthonormal directions from within range(C) and keeps
+    # near-duplicate columns with near-zero Ritz weight instead
+    live = vals > 1e-6 * vals[0]
+    g = vecs[:, live].T @ vecs[:, live]
+    np.testing.assert_allclose(g, np.eye(int(live.sum())), atol=1e-6)
+    assert np.all(np.diff(vals) <= 1e-12)                  # descending
+    assert np.all(vals >= 0.0)
+    assert vals[0] <= lam.max() * (1 + 1e-9)               # Ritz bound
+    if spectrum == "decay":
+        # gapped spectrum: top Ritz values converge to the eigenvalues
+        np.testing.assert_allclose(vals[:6], np.sort(lam)[::-1][:6],
+                                   rtol=1e-8)
+
+    tab = deflated_theta_tables(c, jnp.asarray(vals), jnp.asarray(vecs))
+    for k in (1, 5, 11):
+        direct = deflated_thetas(c, jnp.asarray(vals), jnp.asarray(vecs), k)
+        table = thetas_from_tables(tab, k)
+        for d, t in zip(direct, table):
+            assert float(d) >= 0.0
+            assert float(t) == pytest.approx(float(d), rel=1e-7,
+                                             abs=1e-18)
