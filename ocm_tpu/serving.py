@@ -97,7 +97,6 @@ class SIMCAScorer(_ChunkedScorer):
             self._center = np.asarray(model.mean, np.float32)
             scoring_model = model._replace(
                 mean=jnp.zeros_like(model.mean))
-            self._store_dtype = store_dtype
 
         def decide(xc):
             accept, dred, t2, q = simca_decide(scoring_model, xc,
