@@ -203,7 +203,7 @@ def cv_simca_sweep(x, y, cls_label, lv_values: Sequence[int],
                    d_cl: float = 0.95, shuffle: bool = False,
                    random_state: Optional[int] = None,
                    convert: bool = True, solver: str = "eigh",
-                   oversample: int = 10, subspace_iters: int = 8):
+                   oversample: int = 10, subspace_iters: int = 4):
     """All (fold x LV) fits of one preprocessing combo in one jitted program.
 
     Returns dict with per-LV aggregates matching utils/CVSIMCA.py:203-208:
@@ -250,7 +250,7 @@ def cv_simca_sweep(x, y, cls_label, lv_values: Sequence[int],
     "solver", "n_sub", "subspace_iters"))
 def _cv_sweep_jit(x, train_m, held_m, other_m, lvs, *, decision_type,
                   t2_method, q_method, t2_cl, q_cl, d_cl, solver="eigh",
-                  n_sub=0, subspace_iters=8):
+                  n_sub=0, subspace_iters=4):
     """Cached compiled (fold x LV) solve — module-level jit so repeated
     sweeps (grid combos, benchmarks) reuse the compilation."""
 

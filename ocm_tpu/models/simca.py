@@ -55,7 +55,7 @@ def fit_simca(x_cls, n_components: int, decision_type: str = "alt",
               t2_method: str = "Fdist", q_method: str = "jm",
               t2_cl: float = 0.95, q_cl: float = 0.95, d_cl: float = 0.95,
               dtype=None, solver: str = "svd", oversample: int = 10,
-              subspace_iters: int = 8) -> SIMCAModel:
+              subspace_iters: int = 4) -> SIMCAModel:
     """Fit one single-class SIMCA model (utils/SIMCA.py:62-99) in one
     decomposition.
 
@@ -375,7 +375,7 @@ def fit_simca_masked(x, w, n_components: int, decision_type: str = "alt",
                      t2_cl: float = 0.95, q_cl: float = 0.95,
                      d_cl: float = 0.95, max_rank=None,
                      solver: str = "eigh", oversample: int = 10,
-                     subspace_iters: int = 8) -> SIMCAModel:
+                     subspace_iters: int = 4) -> SIMCAModel:
     """Masked/weighted SIMCA fit: rows with w == 0 are excluded.
 
     Foundation of the batched CV engine: every (fold x class) fit shares one

@@ -36,7 +36,7 @@ def fit_simca_sharded(x, w, n_components: int, mesh: Mesh,
                       q_cl: float = 0.95, d_cl: float = 0.95,
                       axis: str = DATA_AXIS, solver: str = "eigh",
                       oversample: int = 10,
-                      subspace_iters: int = 8) -> SIMCAModel:
+                      subspace_iters: int = 4) -> SIMCAModel:
     """Masked SIMCA fit with the sample axis sharded over ``mesh[axis]``.
 
     ``x``: (N, L) with N divisible by the axis size; ``w``: (N,) row mask
@@ -247,7 +247,7 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
                         t2_method: str = "Fdist", q_method: str = "jm",
                         t2_cl: float = 0.95, q_cl: float = 0.95,
                         d_cl: float = 0.95, solver: str = "eigh",
-                        oversample: int = 10, subspace_iters: int = 8):
+                        oversample: int = 10, subspace_iters: int = 4):
     """CV sweep on a 2-D mesh: folds shard over ``model_axis`` AND the
     sample axis shards over ``data_axis`` — the full SURVEY.md 5.8 layout.
 

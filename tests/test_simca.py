@@ -282,7 +282,7 @@ def test_rsvd_fit_degenerate_tail_invariants(class_data):
     # partial traces over the (rotation-ambiguous) top-k cluster
     np.testing.assert_allclose(float(jnp.sum(m_rs.eigenvalues[:k])),
                                float(jnp.sum(m_svd.eigenvalues[:k])),
-                               rtol=1e-4)
+                               rtol=3e-4)
     assert float(m_rs.q_res.limit) == pytest.approx(
         float(m_svd.q_res.limit), rel=2e-2)
     assert float(m_rs.t2_res.limit) == pytest.approx(
