@@ -357,3 +357,25 @@ def test_load_swir_mat_errors(tmp_path, rng):
     scipy_io.savemat(p2, {"almond_x": np.zeros((4, 4))})
     with pytest.raises(ValueError, match=r"\(H, W, L\) cube"):
         load_swir_mat(p2, ["almond"])
+
+
+def test_outlier_mask_rsvd_flags_same_outliers(rng):
+    """The randomized solver flags the same gross outliers as the full
+    SVD; marginal samples at the percentile threshold may flip when
+    n_components cuts into the degenerate noise bulk (subspace rotation
+    ambiguity, inherent to any solver pair)."""
+    import jax.numpy as jnp
+
+    from oracles import make_class_spectra
+
+    x = make_class_spectra(rng, 300, 70)
+    bad = [3, 40, 222]
+    for i, scale in zip(bad, (3.0, -2.5, 4.0)):
+        x[i] += scale
+    k_svd, _, _ = mahalanobis_outlier_mask(jnp.asarray(x), 8)
+    k_rs, _, _ = mahalanobis_outlier_mask(jnp.asarray(x), 8, solver="rsvd")
+    for i in bad:
+        assert not bool(k_svd[i]) and not bool(k_rs[i])
+    assert np.mean(np.asarray(k_svd) == np.asarray(k_rs)) >= 0.95
+    with pytest.raises(ValueError, match="solver"):
+        mahalanobis_outlier_mask(jnp.asarray(x), 8, solver="qr")
