@@ -416,3 +416,21 @@ def test_masked_rsvd_matches_masked_eigh(class_data):
     assert np.mean(np.asarray(a_e) == np.asarray(a_r)) >= 0.99
     with pytest.raises(ValueError, match="solver"):
         simca.fit_simca_masked(jnp.asarray(x_in), w, 6, solver="qr")
+
+
+def test_rsvd_fit_wide_data(rng):
+    """n << L: the covariance is rank-deficient (rank n-1).  The rsvd fit
+    must clamp its subspace size, keep limits finite, and agree with the
+    svd fit's decisions."""
+    x_in = make_class_spectra(rng, 40, 300)      # rank 39 covariance
+    x_out = make_class_spectra(rng, 30, 300, center_shift=0.9)
+    for k in (3, 10):
+        m_svd = simca.fit_simca(jnp.asarray(x_in), k)
+        m_rs = simca.fit_simca(jnp.asarray(x_in), k, solver="rsvd")
+        assert np.isfinite(float(m_rs.q_res.limit))
+        assert np.isfinite(float(m_rs.t2_res.limit))
+        assert float(m_rs.t2_res.limit) == pytest.approx(
+            float(m_svd.t2_res.limit), rel=1e-6)
+        a_svd, *_ = simca.simca_decide(m_svd, jnp.asarray(x_out))
+        a_rs, *_ = simca.simca_decide(m_rs, jnp.asarray(x_out))
+        assert np.mean(np.asarray(a_svd) == np.asarray(a_rs)) >= 0.95
