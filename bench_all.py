@@ -16,6 +16,11 @@ in bench.py).  CPU reference timings run the reference's own algorithms
                          single-config estimate
 
 Usage: python bench_all.py [--quick]
+
+--quick shrinks workloads and inner-iteration counts for a fast smoke of
+every bench path; its absolute numbers (especially the roofline rows) sit
+partly on the ~30 ms dispatch floor and are NOT the publication numbers —
+docs/BENCHMARKS.md always quotes full-mode runs.
 """
 
 from __future__ import annotations
