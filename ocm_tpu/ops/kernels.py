@@ -5,10 +5,14 @@
    (MXU), and the T^2 / Q reductions (VPU) without writing ANY (N, L) or
    (N, k) intermediate back to HBM.  Matches ocm_tpu.ops.linalg.t2_q_scores
    (the XLA path) to float tolerance.  Measured on hardware (98k x 500
-   spectra, k=10): XLA's own fusion wins — 2.3 ms vs 3.2 ms for this kernel
-   — so the XLA path stays the default (simca_scores(use_pallas=False));
-   the kernel is kept as the measured baseline showing the compiler already
-   reaches the fused formulation.
+   spectra, k=10; floor-free re-measure 2026-08-17 at inner=64): XLA's own
+   fusion wins — 0.70 ms vs 2.0-2.1 ms for this kernel at tile_n in
+   {512, 2048} (tile_n=4096 exceeds the 16 MB scoped-VMEM limit), so the
+   gap is NOT grid-step overhead; the lane-padded k=128 score panel and
+   VPU reductions cost more than the fusion they replace.  The XLA path
+   stays the default (simca_scores(use_pallas=False)); the kernel is kept
+   as the measured baseline showing the compiler already reaches the
+   fused formulation.
 
 2. ``reparam_loss_pallas`` — fused reparameterization + beta-VAE loss terms:
    per tile, draws eps with the on-core PRNG, forms z = mu + eps*exp(.5 lv),
