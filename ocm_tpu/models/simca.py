@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ocm_tpu.ops.linalg import (cov, deflated_thetas, pca_fit, pca_topk_cov,
-                                pinv_psd, t2_q_scores)
+from ocm_tpu.ops.linalg import (cov, deflated_thetas, eigh_desc_signed,
+                                pca_fit, pca_topk_cov, pinv_psd, t2_q_scores)
 from ocm_tpu.stats import limits as L
 from ocm_tpu.stats.metrics import conformity_metrics
 
@@ -232,6 +232,15 @@ def predict_classes(models: SIMCAModel, x, decision_type: str = "alt",
     means) in bf16 and pass ``x_offset`` — see
     ops.linalg.t2_q_scores_multiclass.  Any other dtype is cast to the
     model dtype.
+
+    Precision note: the fused path expands Q as ``||x||^2 - 2 x.m + ||m||^2
+    - ||t||^2``, which carries ~eps * ||x||^2 cancellation error.  That is
+    negligible for centered or SNV-style data, but for RAW f32 spectra
+    with a large common mode AND Q limits tiny relative to the spectrum
+    norm, the ``x_offset`` pre-centering recommendation applies to f32
+    too (or use ``fused=False``, which centers before squaring).  The
+    strict-parity ``SIMCA`` wrapper's decisions were verified identical
+    either way on the reference protocols (tests/test_reference_parity.py).
     """
     if fused:
         from ocm_tpu.ops.linalg import t2_q_scores_multiclass
@@ -278,17 +287,7 @@ def masked_pca_eig(x, w) -> MaskedPCA:
     # residual eigenvalue moments and hence the theta-based Q limits
     with jax.default_matmul_precision("highest"):
         c = (xc.T @ xc) / (n - 1.0)
-    eigval, eigvec = jnp.linalg.eigh(c)
-    eigval = eigval[::-1]
-    eigvec = eigvec[:, ::-1]
-    # eigh eigenvalues can go slightly negative at machine precision
-    eigenvalues = jnp.maximum(eigval, 0.0)
-    # sklearn-compatible sign convention (Vt-row based): make the max-abs
-    # entry of each loading vector positive
-    max_abs_idx = jnp.argmax(jnp.abs(eigvec), axis=0)
-    signs = jnp.sign(eigvec[max_abs_idx, jnp.arange(eigvec.shape[1])])
-    signs = jnp.where(signs == 0, 1.0, signs)
-    eigvec = eigvec * signs[None, :]
+    eigenvalues, eigvec = eigh_desc_signed(c)
     max_rank = jnp.minimum(n, x.shape[1]).astype(jnp.int32)
     return MaskedPCA(mean, eigvec, eigenvalues, n, max_rank)
 

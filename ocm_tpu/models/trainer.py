@@ -248,6 +248,7 @@ def train_vae_blocked(model: ConvVAE1D, x_cal, x_val, cfg: TrainConfig,
     while done < cfg.epochs and not stopped:
         k = min(block_epochs, cfg.epochs - done)
         bcfg = dataclasses.replace(cfg, epochs=k)
+        entry_state = state
         r = train_vae(model, x_cal, x_val, bcfg, rng,
                       spec_stats=spec_stats, init_state=state,
                       epoch_offset=done)
@@ -263,15 +264,27 @@ def train_vae_blocked(model: ConvVAE1D, x_cal, x_val, cfg: TrainConfig,
                 stopped = True
                 seen = e + 1
                 break
-        # best-checkpoint tracking: r.bundle is the block's best checkpoint;
-        # adopt it only when that epoch was actually reported (a pruned
-        # block's unreported tail never becomes the best model — the
-        # reference's TrialPruned discards the trial there anyway)
-        if (float(np.min(vl[:seen])) < best_val
-                and int(r.best_epoch) - done < seen):
-            best_val = float(np.min(vl[:seen]))
-            best_bundle = r.bundle
-            best_epoch = int(r.best_epoch)
+        # best-checkpoint tracking over the REPORTED prefix only (a pruned
+        # block's unreported tail never becomes the best model).  When the
+        # prune cuts before the block's own argmin, r.bundle holds the
+        # wrong (unreported) epoch — re-run the deterministic prefix from
+        # the block's entry state to materialize the reported best
+        # checkpoint instead, so TrainResult.bundle is always the best
+        # OBSERVED epoch and never None once any epoch was reported.
+        if seen and np.isfinite(vl[:seen]).any():
+            prefix_best = int(np.argmin(vl[:seen]))
+            if float(vl[prefix_best]) < best_val:
+                best_val = float(vl[prefix_best])
+                best_epoch = done + prefix_best
+                if int(r.best_epoch) - done == prefix_best:
+                    best_bundle = r.bundle
+                else:
+                    rr = train_vae(
+                        model, x_cal, x_val,
+                        dataclasses.replace(cfg, epochs=prefix_best + 1),
+                        rng, spec_stats=spec_stats, init_state=entry_state,
+                        epoch_offset=done)
+                    best_bundle = rr.bundle
         done += k
 
     return TrainResult(best_bundle,

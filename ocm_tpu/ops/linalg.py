@@ -71,6 +71,25 @@ def pca_fit(x, dtype=None) -> PCAFit:
     return PCAFit(mean=mean, components=vt, scores=scores, eigenvalues=eigenvalues)
 
 
+def eigh_desc_signed(c):
+    """Dense eigendecomposition of a symmetric PSD matrix, descending,
+    clipped at zero, with sklearn's sign convention (max-abs entry of each
+    eigenvector made positive — matches ``svd_flip_signs`` on covariance
+    loadings).
+
+    The single source of the dense covariance decomposition used by the
+    masked fits and every CV / sharded-CV path (they must agree exactly:
+    the same spectrum feeds the residual-moment Q limits everywhere).
+    """
+    eigval, eigvec = jnp.linalg.eigh(c)
+    eigval = jnp.maximum(eigval[::-1], 0.0)
+    eigvec = eigvec[:, ::-1]
+    max_abs_idx = jnp.argmax(jnp.abs(eigvec), axis=0)
+    signs = jnp.sign(eigvec[max_abs_idx, jnp.arange(eigvec.shape[1])])
+    eigvec = eigvec * jnp.where(signs == 0, 1.0, signs)[None, :]
+    return eigval, eigvec
+
+
 def pinv_psd(a, rcond: float = 1e-15):
     """Moore-Penrose pseudo-inverse of a symmetric PSD matrix via eigh.
 

@@ -25,9 +25,16 @@ from jax import shard_map
 from ocm_tpu.models.simca import (SIMCAModel, masked_q_limit,
                                   masked_t2_limit)
 from ocm_tpu.ops.linalg import (deflated_theta_tables, deflated_thetas,
-                                pca_topk_cov, pinv_psd, thetas_from_tables)
+                                eigh_desc_signed, pca_topk_cov, pinv_psd,
+                                thetas_from_tables)
 from ocm_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
 from ocm_tpu.stats import limits as L
+
+
+def _check_solver(solver: str):
+    if solver not in ("eigh", "rsvd"):
+        raise ValueError(f"unknown solver {solver!r}; expected 'eigh' or"
+                         " 'rsvd'")
 
 
 def fit_simca_sharded(x, w, n_components: int, mesh: Mesh,
@@ -49,6 +56,7 @@ def fit_simca_sharded(x, w, n_components: int, mesh: Mesh,
     its cost does not shrink with the mesh; the rsvd fit removes that
     serial term.  Residual moments come from covariance deflation.
     """
+    _check_solver(solver)
     x = jnp.asarray(x)
     w = jnp.asarray(w, x.dtype)
     n_total, n_features = x.shape
@@ -68,13 +76,7 @@ def fit_simca_sharded(x, w, n_components: int, mesh: Mesh,
             s_sub = min(n_components + oversample, n_features)
             eigval, eigvec = pca_topk_cov(c, s_sub, iters=subspace_iters)
         else:
-            eigval, eigvec = jnp.linalg.eigh(c)
-            eigval = jnp.maximum(eigval[::-1], 0.0)
-            eigvec = eigvec[:, ::-1]
-            max_abs_idx = jnp.argmax(jnp.abs(eigvec), axis=0)
-            signs = jnp.sign(eigvec[max_abs_idx,
-                                    jnp.arange(eigvec.shape[1])])
-            eigvec = eigvec * jnp.where(signs == 0, 1.0, signs)[None, :]
+            eigval, eigvec = eigh_desc_signed(c)
         p = eigvec[:, :n_components].T
 
         # ---- sharded scores, psum score covariance ----------------------
@@ -142,14 +144,20 @@ def predict_sharded(model: SIMCAModel, x, mesh: Mesh,
 
 def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
                      n_splits: int = 5, model_axis: str = "model",
-                     **kwargs):
+                     decision_type: str = "alt", t2_method: str = "Fdist",
+                     q_method: str = "jm", t2_cl: float = 0.95,
+                     q_cl: float = 0.95, d_cl: float = 0.95,
+                     solver: str = "eigh", oversample: int = 10,
+                     subspace_iters: int = 4):
     """CV fold axis sharded over the mesh: distinct fold fits on distinct
     chips (embarrassingly parallel — the 'model' axis of SURVEY.md 5.8).
 
-    The (fold x LV) batched solve of ocm_tpu.models.cv runs unchanged; only
-    the vmapped fold axis is placed on the mesh, so each chip computes
-    n_splits / n_chips eigendecompositions.  Aggregation (fold means,
-    pooled predictions) happens on the replicated outputs.
+    The (fold x LV) batched solve of ocm_tpu.models.cv runs unchanged —
+    the per-fold math IS ``ocm_tpu.models.cv.fold_lv_sweep`` (one
+    implementation, every default shared) — only the vmapped fold axis is
+    placed on the mesh, so each chip computes n_splits / n_chips
+    eigendecompositions.  Aggregation (fold means, pooled predictions)
+    happens on the replicated outputs.
 
     When ``n_splits`` does not divide the model-axis size the fold axis is
     auto-padded by REPEATING folds cyclically (mirroring the sample-axis
@@ -162,6 +170,7 @@ def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
 
     from ocm_tpu.models import cv as cv_mod
 
+    _check_solver(solver)
     x = jnp.asarray(x)
     y_np = np.asarray(y)
     train_np, held_np = cv_mod.fold_masks(y_np, cls_label, n_splits)
@@ -174,51 +183,16 @@ def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
     lvs = jnp.asarray(list(lv_values), dtype=jnp.int32)
     other_m = jnp.asarray(y_np != cls_label)
 
-    decision_type = kwargs.pop("decision_type", "alt")
-    t2_method = kwargs.pop("t2_method", "Fdist")
-    q_method = kwargs.pop("q_method", "jm")
     if decision_type == "dd":
         t2_method = q_method = "chi2pom"
-    t2_cl = kwargs.pop("t2_cl", 0.95)
-    q_cl = kwargs.pop("q_cl", 0.95)
-    d_cl = kwargs.pop("d_cl", 0.95)
-    solver = kwargs.pop("solver", "eigh")
-    oversample = kwargs.pop("oversample", 10)
-    subspace_iters = kwargs.pop("subspace_iters", 8)
     n_sub = min(int(max(lv_values)) + oversample, x.shape[1])
 
-    from ocm_tpu.models.simca import MaskedPCA, masked_pca_eig
-
     def per_fold(w_train_b, held_b):
-        w = w_train_b.astype(x.dtype)
-        if solver == "rsvd":
-            n_eff = jnp.sum(w)
-            with jax.default_matmul_precision("highest"):
-                mean = jnp.sum(x * w[:, None], axis=0) / n_eff
-                xc_w = (x - mean[None, :]) * w[:, None]
-                c = (xc_w.T @ xc_w) / (n_eff - 1.0)
-                vals, vecs = pca_topk_cov(c, n_sub, iters=subspace_iters)
-            max_rank = jnp.minimum(n_eff, x.shape[1]).astype(jnp.int32)
-            pca = MaskedPCA(mean, vecs, vals, n_eff, max_rank)
-            tab = deflated_theta_tables(c, vals, vecs)
-            thetas_of = lambda k: thetas_from_tables(tab, k)
-        else:
-            pca = masked_pca_eig(x, w_train_b)
-            thetas_of = lambda k: L.residual_thetas(
-                pca.eigenvalues, k, max_rank=pca.max_rank)
-        xc = x - pca.mean[None, :]
-        with jax.default_matmul_precision("highest"):
-            t_all = xc @ pca.eigvec
-        t_train = t_all * w[:, None]
-        xc2_all = jnp.sum(xc * xc, axis=1)
-
-        def per_lv(k):
-            return cv_mod._lv_metrics(pca, thetas_of(k), t_train, t_all,
-                                      xc2_all * w, xc2_all, w, held_b,
-                                      other_m, k, decision_type, t2_method,
-                                      q_method, t2_cl, q_cl, d_cl)
-
-        return jax.vmap(per_lv)(lvs)
+        return cv_mod.fold_lv_sweep(
+            x, w_train_b, held_b, other_m, lvs, solver=solver, n_sub=n_sub,
+            subspace_iters=subspace_iters, decision_type=decision_type,
+            t2_method=t2_method, q_method=q_method, t2_cl=t2_cl, q_cl=q_cl,
+            d_cl=d_cl)
 
     folds_sharding = NamedSharding(mesh, P(model_axis))
     run = jax.jit(jax.vmap(per_fold),
@@ -228,17 +202,10 @@ def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
     accept, sens, spec = run(jnp.asarray(train_np), jnp.asarray(held_np))
     accept, spec = accept[:n_splits], spec[:n_splits]   # drop padded folds
 
-    spec_mean = jnp.mean(spec, axis=0)
-    own = jnp.einsum("fln,fn->ln", accept.astype(x.dtype),
-                     jnp.asarray(held_np[:n_splits], x.dtype))
-    pooled = jnp.where(other_m[None, :], accept[-1], own > 0)
-    in_class = ~other_m
-    tp = jnp.sum(pooled & in_class[None, :], axis=1)
-    fn_ = jnp.sum((~pooled) & in_class[None, :], axis=1)
-    sens_pooled = tp / (tp + fn_) * 100.0
-    return {"pred": np.asarray(pooled), "sens": np.asarray(sens_pooled),
-            "spec": np.asarray(spec_mean),
-            "eff": np.asarray(jnp.sqrt(sens_pooled * spec_mean))}
+    out = cv_mod.pooled_aggregate(accept, spec,
+                                  jnp.asarray(held_np[:n_splits]),
+                                  other_m, x.dtype)
+    return jax.tree.map(np.asarray, out)
 
 
 def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
@@ -268,6 +235,7 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
 
     from ocm_tpu.models import cv as cv_mod
 
+    _check_solver(solver)
     x = np.asarray(x)
     y_np = np.asarray(y)
     n = x.shape[0]
@@ -313,49 +281,30 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
                 eigval, eigvec = pca_topk_cov(c, n_sub,
                                               iters=subspace_iters)
                 theta_tab = deflated_theta_tables(c, eigval, eigvec)
+                thetas_of = lambda k: thetas_from_tables(theta_tab, k)
             else:
-                eigval, eigvec = jnp.linalg.eigh(c)
-                eigval = jnp.maximum(eigval[::-1], 0.0)
-                eigvec = eigvec[:, ::-1]
-                idx = jnp.argmax(jnp.abs(eigvec), axis=0)
-                signs = jnp.sign(eigvec[idx, jnp.arange(eigvec.shape[1])])
-                eigvec = eigvec * jnp.where(signs == 0, 1.0,
-                                            signs)[None, :]
+                eigval, eigvec = eigh_desc_signed(c)
+                max_rank = jnp.minimum(n_f, n_features).astype(jnp.int32)
+                thetas_of = lambda k: L.residual_thetas(
+                    eigval, k, max_rank=max_rank)
 
             xc = x_loc - mean[None, :]
             t_all = xc @ eigvec                       # local scores
             xc2_all = jnp.sum(xc * xc, axis=1)
-            max_rank = jnp.minimum(n_f, n_features).astype(jnp.int32)
 
             # gather per-fold train statistics (N scalars) for the
             # order-statistic limit engines
             w_g = jax.lax.all_gather(w, data_axis, tiled=True)
 
             def per_lv(k):
-                r = eigval.shape[0]
-                comp = jnp.arange(r) < k
-                cutoff = 1e-15 * jnp.max(eigval)
-                inv_lam = jnp.where((eigval > cutoff) & comp,
-                                    1.0 / jnp.maximum(eigval, 1e-300), 0.0)
-                t2_loc = jnp.sum(t_all * t_all * inv_lam[None, :], axis=1)
-                q_loc = jnp.maximum(
-                    xc2_all - jnp.sum(
-                        jnp.where(comp[None, :], t_all * t_all, 0.0),
-                        axis=1), 0.0)
+                # the per-LV T2/Q identity is single-sourced with the local
+                # sweep; only the train-statistic GATHER is mesh-specific
+                t2_loc, q_loc = cv_mod.lv_t2_q(eigval, t_all, xc2_all, k)
                 t2_g = jax.lax.all_gather(t2_loc * w, data_axis, tiled=True)
                 q_g = jax.lax.all_gather(q_loc * w, data_axis, tiled=True)
-                if solver == "rsvd":
-                    thetas = thetas_from_tables(theta_tab, k)
-                else:
-                    thetas = L.residual_thetas(eigval, k,
-                                               max_rank=max_rank)
-                t2_res = masked_t2_limit(t2_g, w_g, n_f, k, t2_method,
-                                         t2_cl)
-                q_res = masked_q_limit(q_g, w_g, n_f, q_method, q_cl,
-                                       thetas)
-                d_limit = L.critical_distance(decision_type, t2_res, q_res,
-                                              n_components=k, thetas=thetas,
-                                              dcl=d_cl)
+                t2_res, q_res, d_limit = cv_mod.lv_limits(
+                    t2_g, q_g, w_g, n_f, k, thetas_of(k), decision_type,
+                    t2_method, q_method, t2_cl, q_cl, d_cl)
                 dred = L.reduced_distance(decision_type, t2_loc, q_loc,
                                           t2_res, q_res)
                 accept = dred < d_limit
@@ -389,17 +338,8 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
         jnp.asarray(other_np), jnp.asarray(valid_np))
 
     accept, spec = accept[:n_splits], spec[:n_splits]   # drop padded folds
-    spec_mean = jnp.mean(spec, axis=0)
-    held_m = jnp.asarray(held_np[:n_splits, :n])
-    other_m = jnp.asarray(other_np[:n])
     accept = accept[:, :, :n]                        # drop padded columns
-    own = jnp.einsum("fln,fn->ln", accept.astype(x.dtype),
-                     held_m.astype(x.dtype))
-    pooled = jnp.where(other_m[None, :], accept[-1], own > 0)
-    in_class = ~other_m
-    tp = jnp.sum(pooled & in_class[None, :], axis=1)
-    fn_ = jnp.sum((~pooled) & in_class[None, :], axis=1)
-    sens_pooled = tp / (tp + fn_) * 100.0
-    return {"pred": np.asarray(pooled), "sens": np.asarray(sens_pooled),
-            "spec": np.asarray(spec_mean),
-            "eff": np.asarray(jnp.sqrt(sens_pooled * spec_mean))}
+    out = cv_mod.pooled_aggregate(
+        accept, spec, jnp.asarray(held_np[:n_splits, :n]),
+        jnp.asarray(other_np[:n]), x.dtype)
+    return jax.tree.map(np.asarray, out)

@@ -34,7 +34,10 @@ import numpy as np
 def _struct_fields(struct, key: str) -> dict:
     """MATLAB struct -> {field: value}, accessed BY NAME (robust to field
     re-ordering; the reference maps by enumeration order,
-    data_cheese.py:33-34)."""
+    data_cheese.py:33-34).  v7.3 structs arrive as plain dicts from the
+    h5py fallback reader and pass through unchanged."""
+    if isinstance(struct, dict):
+        return struct
     struct = np.asarray(struct)
     if struct.dtype.names is None:
         raise ValueError(
@@ -59,6 +62,49 @@ def _unwrap_cell(value):
     return value
 
 
+def _h5_read(node, file):
+    """One HDF5 node of a MATLAB v7.3 file -> numpy/dict.
+
+    MATLAB writes arrays column-major, so every dataset's axes arrive
+    reversed (``.T`` restores MATLAB orientation); structs are HDF5
+    groups; cell arrays are object-reference datasets, dereferenced
+    element-wise."""
+    import h5py
+
+    if isinstance(node, h5py.Group):
+        return {k: _h5_read(v, file) for k, v in node.items()}
+    data = node[()]
+    if isinstance(data, np.ndarray) and data.dtype.kind == "O":
+        # cell array: dereference each element through the file
+        items = [_h5_read(file[ref], file) for ref in data.reshape(-1)]
+        return np.stack([np.squeeze(np.asarray(e)) for e in items])
+    return np.asarray(data).T
+
+
+def _loadmat(path: str) -> dict:
+    """scipy.io.loadmat with a MATLAB v7.3 (HDF5) fallback.
+
+    scipy rejects v7.3 files with NotImplementedError (the format is
+    HDF5, not the classic .mat container); those route through h5py with
+    structs as dicts and axes restored to MATLAB orientation — the same
+    validated schema path serves both formats
+    (tests/test_data.py::test_load_cheese_mat_v73)."""
+    import scipy.io
+
+    try:
+        return scipy.io.loadmat(path)
+    except NotImplementedError:
+        try:
+            import h5py
+        except ImportError as e:
+            raise NotImplementedError(
+                f"{path} is a MATLAB v7.3 file and h5py is not "
+                "installed") from e
+        with h5py.File(path, "r") as f:
+            return {k: _h5_read(v, f) for k, v in f.items()
+                    if not k.startswith("#")}
+
+
 def load_cheese_mat(path: str, data_field: str = "data",
                     class_field: str = "class"):
     """-> (x_train, y_train, x_test, y_test); labels 0-based ints
@@ -67,10 +113,9 @@ def load_cheese_mat(path: str, data_field: str = "data",
     Struct fields are accessed by name, cell nesting is unwrapped, and the
     schema is validated with clear errors (field names, label/sample-count
     agreement); a scipy.io.savemat round trip of the reference-shaped
-    struct loads identically (tests/test_data.py)."""
-    import scipy.io
-
-    raw = scipy.io.loadmat(path)
+    struct loads identically (tests/test_data.py).  MATLAB v7.3 files
+    (HDF5) load through the h5py fallback with the same schema checks."""
+    raw = _loadmat(path)
     out = []
     for key in ("Xtr", "Xts"):
         if key not in raw:
@@ -102,17 +147,21 @@ def load_swir_mat(path: str, classes, dtype=np.float32):
     with the nut type inferred by substring match of the field name
     against the class list; unmatched fields are skipped with a warning
     entry in the returned ``skipped`` list: returns (cubes, skipped).
-    """
-    import scipy.io
+    MATLAB v7.3 files (HDF5) load through the h5py fallback.
 
-    raw = scipy.io.loadmat(path)
+    Substring matching tries the LONGEST class names first, so a class
+    that contains another as a substring (e.g. 'walnut' vs 'nut') claims
+    its fields before the shorter name can shadow it.
+    """
+    raw = _loadmat(path)
     cubes = {cls: [] for cls in classes}
+    by_len = sorted(classes, key=len, reverse=True)
     skipped = []
     for field_name, value in raw.items():
         if field_name.startswith("__"):
             continue
         cube = np.asarray(value, dtype=dtype)
-        cls = next((c for c in classes
+        cls = next((c for c in by_len
                     if c.lower() in field_name.lower()), None)
         if cls is None:
             skipped.append(field_name)

@@ -297,6 +297,8 @@ def plot_t2q_interactive(t2_red, q_red, labels=None,
     """
     try:
         import plotly.graph_objects as go
+        if not hasattr(go, "Figure"):      # partial stub in sys.modules
+            raise ImportError("plotly.graph_objects lacks Figure")
     except ImportError as e:
         raise ImportError(
             "plotly is not installed; use ocm_tpu.utils.report.plot_t2q "

@@ -343,6 +343,76 @@ def test_load_swir_mat_roundtrip_to_object_store(tmp_path, rng):
     assert back["almond"][0]["spectral_data"].shape == (9, 5)
 
 
+def _write_mat_v73(path, tree):
+    """Write a MATLAB v7.3-layout HDF5 file: datasets column-major (axes
+    reversed vs numpy), structs as groups, plus the v7.3 userblock magic
+    that makes scipy.io.loadmat raise NotImplementedError."""
+    import h5py
+
+    with h5py.File(path, "w", userblock_size=512) as f:
+        def write(group, node):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    write(group.create_group(k), v)
+                else:
+                    group.create_dataset(k, data=np.asarray(v).T)
+        write(f, tree)
+    # MATLAB writes a 124-byte text header into the userblock, then the
+    # version word (0x0200 = v7.3) + endian marker at offsets 124-127 —
+    # exactly what scipy reads to decide "use the HDF reader"
+    with open(path, "r+b") as f:
+        text = b"MATLAB 7.3 MAT-file, written by ocm_tpu tests"
+        f.write(text + b" " * (124 - len(text)))
+        f.write(bytes([0x00, 0x02]) + b"IM")
+
+
+def test_load_cheese_mat_v73(tmp_path, rng):
+    """The same Xtr/Xts schema stored as MATLAB v7.3 (HDF5): scipy rejects
+    it, the h5py fallback loads it identically to the classic format."""
+    import scipy.io
+    pytest.importorskip("h5py")
+
+    from ocm_tpu.utils.io import load_cheese_mat
+
+    x_tr = rng.normal(0, 1, (18, 11))
+    y_tr = rng.integers(1, 4, 18)
+    x_ts = rng.normal(0, 1, (7, 11))
+    y_ts = rng.integers(1, 4, 7)
+    path = str(tmp_path / "IR_ML_v73.mat")
+    _write_mat_v73(path, {
+        "Xtr": {"data": x_tr, "class": y_tr.reshape(-1, 1).astype(float)},
+        "Xts": {"data": x_ts, "class": y_ts.reshape(-1, 1).astype(float)},
+    })
+    with pytest.raises(NotImplementedError):
+        scipy.io.loadmat(path)          # proves this IS the v7.3 case
+    a, b, c, d = load_cheese_mat(path)
+    np.testing.assert_allclose(a, x_tr)
+    np.testing.assert_array_equal(b, y_tr - 1)
+    np.testing.assert_allclose(c, x_ts)
+    np.testing.assert_array_equal(d, y_ts - 1)
+
+
+def test_load_swir_mat_v73_and_substring_shadowing(tmp_path, rng):
+    """v7.3 SWIR cubes load with axes restored, and a class name that
+    contains another ('walnut' vs 'nut') is matched longest-first instead
+    of being claimed by whichever class appears first in the list."""
+    pytest.importorskip("h5py")
+
+    from ocm_tpu.utils.io import load_swir_mat
+
+    cube_w = rng.normal(1.0, 0.05, (6, 9, 4)).astype(np.float32)
+    cube_n = rng.normal(2.0, 0.05, (5, 7, 4)).astype(np.float32)
+    path = str(tmp_path / "SWIR_v73.mat")
+    _write_mat_v73(path, {"walnut_img1": cube_w, "nut_mix_img2": cube_n})
+    # 'nut' listed FIRST: without longest-first matching it would claim
+    # walnut_img1 too
+    cubes, skipped = load_swir_mat(path, ["nut", "walnut"])
+    assert skipped == []
+    assert len(cubes["walnut"]) == 1 and len(cubes["nut"]) == 1
+    np.testing.assert_allclose(cubes["walnut"][0], cube_w, rtol=1e-6)
+    np.testing.assert_allclose(cubes["nut"][0], cube_n, rtol=1e-6)
+
+
 def test_load_swir_mat_errors(tmp_path, rng):
     scipy_io = pytest.importorskip("scipy.io")
 

@@ -221,6 +221,34 @@ def test_cv_sweep_sharded_rsvd_matches_local_rsvd(cls_data):
     np.testing.assert_allclose(got["sens"], want["sens"], atol=1e-8)
 
 
+def test_cv_sweep_defaults_agree_everywhere():
+    """Every CV path must carry IDENTICAL statistical defaults — round-2
+    found cv_sweep_sharded silently fitting with subspace_iters=8 while
+    every other path used 4.  Locks the shared keyword defaults of the
+    local sweep, both sharded sweeps, and the masked/dense fits together."""
+    import inspect
+
+    from ocm_tpu.models.simca import fit_simca, fit_simca_masked
+    from ocm_tpu.parallel.simca_dist import cv_sweep_sharded_2d
+
+    fns = [cv_simca_sweep, cv_sweep_sharded, cv_sweep_sharded_2d,
+           fit_simca, fit_simca_masked, fit_simca_sharded]
+    shared = ["decision_type", "t2_method", "q_method", "t2_cl", "q_cl",
+              "d_cl", "oversample", "subspace_iters"]
+    defaults = {}
+    for fn in fns:
+        sig = inspect.signature(fn)
+        for name in shared:
+            if name not in sig.parameters:
+                continue
+            d = sig.parameters[name].default
+            assert d is not inspect.Parameter.empty, (fn.__name__, name)
+            defaults.setdefault(name, (fn.__name__, d))
+            ref_fn, ref_d = defaults[name]
+            assert d == ref_d, (f"{fn.__name__}.{name} defaults to {d!r} "
+                                f"but {ref_fn}.{name} defaults to {ref_d!r}")
+
+
 def test_cv_sweep_2d_rsvd_matches_local_rsvd(cls_data):
     from ocm_tpu.parallel.simca_dist import cv_sweep_sharded_2d
 

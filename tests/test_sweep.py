@@ -273,6 +273,42 @@ def test_blocked_trainer_prunes_mid_run():
     assert int(r.best_epoch) <= 2
 
 
+def test_blocked_trainer_pruned_bundle_is_reported_best():
+    """When a prune cuts a block BEFORE the block's own argmin epoch, the
+    returned bundle must still be the best checkpoint among the REPORTED
+    epochs (not None, not the unreported later argmin) — round-3 fix of
+    the block-granularity best tracking."""
+    import jax
+
+    from ocm_tpu.models.trainer import TrainConfig, train_vae, train_vae_blocked
+    from ocm_tpu.models.vae import ConvVAE1D
+
+    rng = np.random.default_rng(13)
+    x_cal, x_val = _sine_data(rng, 64), _sine_data(rng, 32)
+    model = ConvVAE1D(input_length=40, latent_dim=4, conv_blocks=2,
+                      n_filters=8, hidden_fc=32)
+    # losses fall monotonically early in training, so the 6-epoch block's
+    # argmin (epoch 5) lies beyond the prune point (epoch 1)
+    cfg = TrainConfig(epochs=6, batch_size=32, lr=2e-3,
+                      loss_type="euclidean")
+    r = train_vae_blocked(model, x_cal, x_val, cfg, jax.random.key(0),
+                          block_epochs=6,
+                          report=lambda e, tl, vl: e >= 1)
+    assert len(np.asarray(r.val_losses)) == 2
+    assert r.bundle is not None
+    assert int(r.best_epoch) <= 1
+    # ground truth: a 2-epoch monolithic run sees exactly the reported
+    # prefix, so its best checkpoint is what the pruned run must return
+    want = train_vae(model, x_cal, x_val,
+                     TrainConfig(epochs=2, batch_size=32, lr=2e-3,
+                                 loss_type="euclidean"), jax.random.key(0))
+    assert int(r.best_epoch) == int(want.best_epoch)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-6),
+        r.bundle.params, want.bundle.params)
+
+
 def test_segmentation_and_extraction_figures(tmp_path):
     """Per-image segmentation/extraction debug figures
     (nut_data.py:75-129)."""
@@ -299,8 +335,8 @@ def test_plot_t2q_interactive_gated():
     t2 = np.abs(np.random.default_rng(0).normal(0.5, 0.2, 30))
     q = np.abs(np.random.default_rng(1).normal(0.5, 0.2, 30))
     try:
-        import plotly  # noqa: F401
-        has_plotly = True
+        import plotly.graph_objects as go
+        has_plotly = hasattr(go, "Figure")   # robust to partial stubs
     except ImportError:
         has_plotly = False
     if has_plotly:
