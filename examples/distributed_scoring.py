@@ -68,6 +68,28 @@ def main(n_spectra=200_000, length=288, n_components=10):
           f"spectra/s end-to-end (host center+ship included), "
           f"decision agreement vs f32 {agree:.4f}")
 
+    # multi-class screen: C classes from ONE bf16 HBM pass per chunk
+    # (stacked-model SIMCAScorer -> predict_classes fused path)
+    from ocm_tpu.models.simca import fit_classes
+
+    n_classes = 3
+    x_mc = np.concatenate([
+        (rng.normal(1 + 0.25 * c, 0.08, (1024, 1)) * base
+         + rng.normal(0, 0.02, (1024, length))).astype(np.float32)
+        for c in range(n_classes)])
+    y_mc = np.repeat(np.arange(n_classes), 1024)
+    stacked = fit_classes(x_mc, y_mc, list(range(n_classes)), n_components,
+                          solver="rsvd")
+    mscorer = SIMCAScorer(stacked, chunk_size=x_big.shape[0],
+                          store_dtype=jnp.bfloat16)
+    mout = mscorer.score(x_big)        # warm
+    t0 = time.perf_counter()
+    mout = mscorer.score(x_big)
+    dtm = time.perf_counter() - t0
+    cs = x_big.shape[0] * n_classes / dtm
+    print(f"fused {n_classes}-class bf16 scorer: {cs / 1e6:.1f} M "
+          f"class-scores/s (accept shape {mout['accept'].shape})")
+
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)

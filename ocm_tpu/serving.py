@@ -75,33 +75,62 @@ class _ChunkedScorer:
 
 
 class SIMCAScorer(_ChunkedScorer):
-    """Resident classical-SIMCA conformity scorer.
+    """Resident classical-SIMCA conformity scorer — single OR multi-class.
+
+    Passing a STACKED model (the (C, ...) pytree from
+    ``models.simca.fit_classes``) screens every class from ONE HBM pass
+    over each chunk (ops.linalg.t2_q_scores_multiclass): a production
+    C-class screen costs one streamed read instead of C — the fused path
+    the reference's per-class scoring loop (utils/SIMCA.py:124-145)
+    multiplies C-fold.  Outputs then carry a trailing class axis:
+    ``accept``/``dred``/``t2``/``q`` are (N, C).
 
     ``store_dtype=jnp.bfloat16`` enables the bandwidth-halving serving
-    path: each chunk is centered by the model mean in f32 ON THE HOST and
-    shipped/streamed as the bf16 residual (quantization error then scales
-    with the small residual, not the spectrum's common mode — see
-    ops.linalg.t2_q_scores_multiclass), scored against a mean-zero view of
-    the model with f32 accumulation.  Measured 1.9x scoring throughput
+    path: each chunk is centered in f32 ON THE HOST — by the model mean
+    (single class) or by the shared mean-of-class-means offset
+    (multi-class) — and shipped/streamed as the bf16 residual
+    (quantization error then scales with the small residual, not the
+    spectrum's common mode — see ops.linalg.t2_q_scores_multiclass), with
+    f32 accumulation and statistics.  Measured 1.9x scoring throughput
     with decisions unchanged on the headline workload
     (docs/BENCHMARKS.md).
     """
 
     def __init__(self, model: SIMCAModel, decision_type: str = "alt",
                  chunk_size: int = 8192, mesh=None, store_dtype=None):
-        self._center = None
-        scoring_model = model
-        if store_dtype is not None:
-            if jnp.dtype(store_dtype) != jnp.dtype(jnp.bfloat16):
-                raise ValueError("store_dtype supports only jnp.bfloat16")
-            self._center = np.asarray(model.mean, np.float32)
-            scoring_model = model._replace(
-                mean=jnp.zeros_like(model.mean))
+        from ocm_tpu.models.simca import predict_classes
 
-        def decide(xc):
-            accept, dred, t2, q = simca_decide(scoring_model, xc,
-                                               decision_type)
-            return {"accept": accept, "dred": dred, "t2": t2, "q": q}
+        if store_dtype is not None and (jnp.dtype(store_dtype)
+                                        != jnp.dtype(jnp.bfloat16)):
+            raise ValueError("store_dtype supports only jnp.bfloat16")
+        self._center = None
+        if np.ndim(model.mean) == 2:             # stacked multi-class model
+            x_offset = None
+            if store_dtype is not None:
+                # one offset shared by every class so the residuals ship
+                # once: the mean of the class means
+                self._center = np.mean(np.asarray(model.mean, np.float32),
+                                       axis=0)
+                x_offset = jnp.asarray(self._center)
+
+            def decide(xc):
+                accept, dred, t2, q = predict_classes(
+                    model, xc, decision_type, x_offset=x_offset)
+                # batch-leading orientation (N, C): matches SIMCA.predict
+                # and keeps the chunk machinery's leading-axis slicing
+                return {"accept": accept.T, "dred": dred.T,
+                        "t2": t2.T, "q": q.T}
+        else:
+            scoring_model = model
+            if store_dtype is not None:
+                self._center = np.asarray(model.mean, np.float32)
+                scoring_model = model._replace(
+                    mean=jnp.zeros_like(model.mean))
+
+            def decide(xc):
+                accept, dred, t2, q = simca_decide(scoring_model, xc,
+                                                   decision_type)
+                return {"accept": accept, "dred": dred, "t2": t2, "q": q}
 
         super().__init__(decide, chunk_size, mesh)
 

@@ -305,3 +305,122 @@ def test_dd_transform_matches_reference(ref, dataset):
     _, t2red_o, _, qred_o = (np.asarray(a) for a in ours.transform(xt))
     np.testing.assert_allclose(t2red_o, np.ravel(t2red_r), rtol=1e-7)
     np.testing.assert_allclose(qred_o, np.ravel(qred_r), rtol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Variant 5: executed quirk-Q5 parity.
+#
+# Importing /root/reference/VAE_SIMCA.py runs its 96-config sweep at module
+# scope, so the VAESIMCA class (VAE_SIMCA.py:215-382) is AST-extracted from
+# source and exec'd — its limit engines then RUN against ours on identical
+# latents from the genuine reference ConvVAE1D (weights exported from the
+# flax model, strict-loaded), closing the round-2 "read-verified only" gap.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_vaesimca_cls():
+    import ast
+
+    torch = pytest.importorskip("torch")
+    from scipy import special
+
+    src = open(os.path.join(REF, "VAE_SIMCA.py")).read()
+    tree = ast.parse(src)
+    cls_node = next(n for n in tree.body
+                    if isinstance(n, ast.ClassDef) and n.name == "VAESIMCA")
+    mod = ast.Module(body=[cls_node], type_ignores=[])
+    ns = {"np": np, "torch": torch, "special": special}
+    exec(compile(mod, "VAE_SIMCA.py:VAESIMCA-extract", "exec"), ns)
+    return ns["VAESIMCA"]
+
+
+@pytest.fixture(scope="module")
+def vaesimca_pair(ref_vaesimca_cls, tmp_path_factory):
+    """(flax model+bundle, genuine-reference torch VAE) with identical
+    weights, plus calibration/test spectra."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from ocm_tpu.models.bundle import new_bundle
+    from ocm_tpu.models.torch_export import save_torch_checkpoint
+    from ocm_tpu.models.vae import ConvVAE1D, init_vae
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    vae_model = pytest.importorskip("vae_model")
+
+    arch = dict(input_length=64, latent_dim=6, conv_blocks=2, n_filters=8,
+                kernel_size=9, stride=2, hidden_fc=32)
+    model = ConvVAE1D(**arch)
+    params, batch_stats = init_vae(model, jax.random.key(5))
+    rng = np.random.default_rng(31)
+    t = np.linspace(0, 1, 64)
+    x_cal = (rng.normal(1, 0.07, (90, 1)) * np.sin(2 * np.pi * 3 * t)
+             + rng.normal(0, 0.02, (90, 64))).astype(np.float32)
+    x_test = np.concatenate([
+        (rng.normal(1, 0.07, (30, 1)) * np.sin(2 * np.pi * 3 * t)
+         + rng.normal(0, 0.02, (30, 64))),
+        (rng.normal(1.5, 0.2, (30, 1)) * np.sin(2 * np.pi * 5 * t)
+         + rng.normal(0, 0.05, (30, 64)))]).astype(np.float32)
+    bundle = new_bundle(params, batch_stats,
+                        jnp.asarray(np.mean(x_cal, axis=0)),
+                        jnp.asarray(np.std(x_cal, axis=0) + 1e-12),
+                        model.latent_dim)
+
+    path = str(tmp_path_factory.mktemp("vs") / "w.pth")
+    save_torch_checkpoint(path, bundle, model)
+    ref_vae = vae_model.ConvVAE1D(
+        input_length=64, latent_dim=6,
+        mean=np.asarray(bundle.spec_mean), std=np.asarray(bundle.spec_std),
+        conv_blocks=2, n_filters=8, kernel_size=9, stride=2, hidden_fc=32)
+    ref_vae.load_state_dict(
+        torch.load(path, map_location="cpu", weights_only=True),
+        strict=True)
+    ref_vae.eval()
+    return model, bundle, ref_vae, x_cal, x_test
+
+
+@pytest.mark.parametrize("dtype_,t2lim,qlim", [
+    ("alt", "Fdist", "jm"),
+    ("sim", "perc", "perc"),
+    ("ci", "chi2", "jm"),
+    ("dd", "chi2pom", "chi2pom"),
+])
+def test_vaesimca_quirk_q5_executed_parity(ref_vaesimca_cls, vaesimca_pair,
+                                           dtype_, t2lim, qlim):
+    """fit_thresholds + predict of the EXECUTED reference VAESIMCA agree
+    with models.vaesimca for every limit-engine branch — the divergent
+    quirk-Q5 formulas (percentile-scaled 'Fdist', Q-value theta moments,
+    dof-sum 'dd') verified by running the reference code, not reading it."""
+    torch = pytest.importorskip("torch")
+
+    from ocm_tpu.models.vaesimca import VAESIMCA as OurVAESIMCA
+
+    model, bundle, ref_vae, x_cal, x_test = vaesimca_pair
+
+    theirs = ref_vaesimca_cls(ref_vae, type=dtype_, t2lim=t2lim, qlim=qlim,
+                              verbose=False)
+    loader = [(torch.tensor(x_cal),)]
+    theirs.fit_thresholds(loader, class_label=0)
+    info = theirs._model[0]
+
+    ours = OurVAESIMCA(model, bundle, type=dtype_, t2lim=t2lim, qlim=qlim,
+                       verbose=False)
+    ours.fit_thresholds(x_cal, class_label=0)
+    vs = ours._model[0]
+
+    np.testing.assert_allclose(np.asarray(vs.latent_mean),
+                               info["latent_mean"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(vs.t2_limit), float(info["T2_limit"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(vs.q_limit), float(info["Q_limit"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(vs.d_limit), float(info["D_limit"]),
+                               rtol=2e-4)
+
+    y_ref, t2_ref, q_ref = theirs.predict([(torch.tensor(x_test),)])
+    acc, t2, q = ours.predict(x_test)
+    np.testing.assert_allclose(np.asarray(t2), t2_ref, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(q), q_ref, rtol=2e-3, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(acc), y_ref)

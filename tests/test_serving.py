@@ -151,6 +151,63 @@ def test_simca_scorer_bf16_store(simca_model):
         SIMCAScorer(model, store_dtype=jnp.float16)
 
 
+@pytest.fixture(scope="module")
+def stacked_models():
+    from ocm_tpu.models.simca import fit_classes
+
+    rng = np.random.default_rng(7)
+    blocks = [make_class_spectra(rng, 80, 48, center_shift=0.6 * c)
+              for c in range(3)]
+    x = np.concatenate(blocks).astype(np.float32)
+    y = np.repeat(np.arange(3), 80)
+    return fit_classes(x, y, [0, 1, 2], 5), x
+
+
+def test_simca_scorer_multiclass_matches_single_scorers(stacked_models):
+    """A stacked-model scorer screens all C classes from one HBM pass;
+    decisions must equal C independent single-class scorers (the serving
+    gap round-2 left: the fused path was unreachable through serving)."""
+    models, x = stacked_models
+    rng = np.random.default_rng(8)
+    x_new = make_class_spectra(rng, 257, 48, center_shift=0.4
+                               ).astype(np.float32)
+    fused = SIMCAScorer(models, chunk_size=96)
+    out = fused.score(x_new)
+    assert out["accept"].shape == (257, 3)
+    for c in range(3):
+        single = SIMCAScorer(jax.tree.map(lambda a: a[c], models),
+                             chunk_size=96)
+        ref = single.score(x_new)
+        np.testing.assert_array_equal(out["accept"][:, c], ref["accept"])
+        np.testing.assert_allclose(out["dred"][:, c], ref["dred"],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_simca_scorer_multiclass_bf16(stacked_models):
+    """bf16 multi-class serving: one shared f32 offset, residuals shipped
+    bf16, decisions match the f32 fused scorer."""
+    models, x = stacked_models
+    s32 = SIMCAScorer(models, chunk_size=96)
+    s16 = SIMCAScorer(models, chunk_size=96, store_dtype=jnp.bfloat16)
+    r32 = s32.score(x)
+    r16 = s16.score(x)
+    assert r16["accept"].shape == r32["accept"].shape == (x.shape[0], 3)
+    assert np.mean(r32["accept"] == r16["accept"]) >= 0.995
+    np.testing.assert_allclose(
+        r16["dred"], r32["dred"],
+        atol=3e-2 * float(np.abs(r32["dred"]).max()))
+
+
+def test_simca_scorer_multiclass_stream(stacked_models):
+    models, x = stacked_models
+    scorer = SIMCAScorer(models, chunk_size=100)
+    frames = [x[:64], x[64:190], x[190:]]
+    results = list(scorer.score_stream(frames))
+    whole = scorer.score(x)
+    np.testing.assert_array_equal(
+        np.concatenate([r["accept"] for r in results]), whole["accept"])
+
+
 def test_vae_scorer_bf16_twin(vae_bundle):
     """compute_dtype=bf16 builds a reduced-precision serving twin over the
     same bundle; decision statistics stay full precision and decisions
