@@ -4,6 +4,14 @@ trial.  Uses Optuna TPE when installed (optim_bce_nuts.py:286-292),
 otherwise the built-in seeded random search.
 
     python examples/hpo_nuts.py [--n-trials 20]
+
+``--asha`` instead runs the dependency-free ADAPTIVE search
+(ocm_tpu.utils.sweep.asha_vae_search): successive halving kills the worst
+trials at rung boundaries (the reference's MedianPruner capability,
+optim_bce_nuts.py:197-199 + 286-292), survivors resume from their exact
+optimizer state, and arch-sharing survivors train as one vmapped program.
+Prints the epoch budget actually spent vs the n_trials * epochs a
+non-adaptive search would train.
 """
 
 from __future__ import annotations
@@ -20,7 +28,7 @@ import numpy as np
 
 
 def main(n_trials=10, target="peanut", epochs=25, seed=42,
-         out_dir="out/hpo_nuts"):
+         out_dir="out/hpo_nuts", asha=False):
     import jax.numpy as jnp
 
     from ocm_tpu.models import vae_decision as D
@@ -29,7 +37,8 @@ def main(n_trials=10, target="peanut", epochs=25, seed=42,
     from ocm_tpu.stats.metrics import roc_auc, vae_binary_metrics
     from ocm_tpu.utils.io import save_json
     from ocm_tpu.utils.splits import object_aware_splits
-    from ocm_tpu.utils.sweep import random_search, run_optuna_study
+    from ocm_tpu.utils.sweep import (asha_vae_search, random_search,
+                                     run_optuna_study)
 
     import _synthetic
 
@@ -38,6 +47,38 @@ def main(n_trials=10, target="peanut", epochs=25, seed=42,
     length = data[target][0].shape[1]
     res = object_aware_splits(data, nut_types, target, length, verbose=False)
     y_bin = res.y_test
+
+    if asha:
+        space = {"latent_dim": ("categorical", [8, 16, 32]),
+                 "lr": ("loguniform", 1e-4, 1e-2),
+                 "beta": ("loguniform", 1e-3, 4.0)}
+        base = {"conv_blocks": 3, "n_filters": 16, "hidden_fc": 64,
+                "batch_size": 64, "loss_type": "bce"}
+        out = asha_vae_search(res.x_cal, res.x_val, space,
+                              n_trials=n_trials, max_epochs=epochs,
+                              reduction=3, seed=seed, base_config=base)
+        cfg = out["best_config"]
+        model = ConvVAE1D(input_length=length,
+                          latent_dim=int(cfg["latent_dim"]), conv_blocks=3,
+                          n_filters=16, hidden_fc=64)
+        b = D.fit_thresholds(model, out["best_bundle"], res.x_cal,
+                             loss_type="bce")
+        dec = D.decide_f(model, b, jnp.asarray(res.x_test))
+        pred = np.where(np.asarray(dec.accept), 0, 1)
+        m = vae_binary_metrics(jnp.asarray(pred), jnp.asarray(y_bin), 2)
+        os.makedirs(out_dir, exist_ok=True)
+        save_json({"best_config": cfg, "best_val_loss": out["best_value"],
+                   "test_accuracy": float(m.accuracy),
+                   "total_epochs": out["total_epochs"],
+                   "full_fidelity_epochs": n_trials * epochs,
+                   "rungs": out["rungs"], "history": out["history"]},
+                  out_dir, "hpo_asha.json")
+        print(f"[asha] best val loss {out['best_value']:.5f} "
+              f"(test acc {float(m.accuracy):.4f}) with {cfg}; "
+              f"trained {out['total_epochs']} epochs vs "
+              f"{n_trials * epochs} non-adaptive "
+              f"({out['total_epochs'] / (n_trials * epochs):.0%})")
+        return cfg, out["best_value"]
 
     space = {
         # the reference's search space (optim_bce_nuts.py:118-126)
@@ -89,4 +130,7 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=25)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out-dir", default="out/hpo_nuts")
+    p.add_argument("--asha", action="store_true",
+                   help="adaptive successive-halving search instead of "
+                        "random/TPE full-fidelity trials")
     main(**vars(p.parse_args()))

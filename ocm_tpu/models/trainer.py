@@ -108,11 +108,16 @@ def _loss_pair(cfg: TrainConfig, xb_std, x_rec_std, spec):
     return xb_std, x_rec_std
 
 
-def make_train_step(model: ConvVAE1D, tx, cfg: TrainConfig, spec=None):
+def make_train_step(model: ConvVAE1D, tx, cfg: TrainConfig, spec=None,
+                    beta=None):
     """One jitted optimizer step over a standardized minibatch.
 
     ``spec=(mean, std)`` enables the 'raw' loss space (the reference's exact
-    objective — losses on unstandardized spectra, vae_model.py:123-129)."""
+    objective — losses on unstandardized spectra, vae_model.py:123-129).
+    ``beta`` overrides ``cfg.beta`` with a (possibly traced) scalar — the
+    hook that lets the vmapped config-batch trainer vary beta along a
+    batch axis while reusing this exact step."""
+    beta = cfg.beta if beta is None else beta
 
     def step(params, batch_stats, opt_state, xb_std, rng):
         r1, r2 = jax.random.split(rng)
@@ -128,7 +133,7 @@ def make_train_step(model: ConvVAE1D, tx, cfg: TrainConfig, spec=None):
             x_rec, mu, logvar = out
             x_cmp, r_cmp = _loss_pair(cfg, xb_std, x_rec, spec)
             total, recon, kl = beta_vae_loss(x_cmp, r_cmp, mu, logvar,
-                                             beta=cfg.beta,
+                                             beta=beta,
                                              loss_type=cfg.loss_type)
             new_bs = mutated.get("batch_stats", batch_stats) if batch_stats else batch_stats
             return total, (recon, kl, new_bs)
@@ -142,10 +147,13 @@ def make_train_step(model: ConvVAE1D, tx, cfg: TrainConfig, spec=None):
     return step
 
 
-def make_eval_loss(model: ConvVAE1D, cfg: TrainConfig, spec=None):
+def make_eval_loss(model: ConvVAE1D, cfg: TrainConfig, spec=None,
+                   beta=None):
     """Validation loss over a full standardized set (stochastic forward, as
     the reference's eval-mode forward still samples z;
-    utils/final_vaesimca.py:380-393)."""
+    utils/final_vaesimca.py:380-393).  ``beta`` overrides ``cfg.beta``
+    (traced scalars allowed, see make_train_step)."""
+    beta = cfg.beta if beta is None else beta
 
     def eval_loss(params, batch_stats, x_std, rng):
         variables = {"params": params}
@@ -154,7 +162,7 @@ def make_eval_loss(model: ConvVAE1D, cfg: TrainConfig, spec=None):
         x_rec, mu, logvar = model.apply(variables, x_std, train=False,
                                         rngs={"reparam": rng})
         x_cmp, r_cmp = _loss_pair(cfg, x_std, x_rec, spec)
-        total, _, _ = beta_vae_loss(x_cmp, r_cmp, mu, logvar, beta=cfg.beta,
+        total, _, _ = beta_vae_loss(x_cmp, r_cmp, mu, logvar, beta=beta,
                                     loss_type=cfg.loss_type)
         return total
 
@@ -307,6 +315,20 @@ def _train_loop(model: ConvVAE1D, cfg: TrainConfig, batch_size: int,
     spec = (mean, std) if cfg.loss_space == "raw" else None
     step_fn = make_train_step(model, tx, cfg, spec=spec)
     eval_fn = make_eval_loss(model, cfg, spec=spec)
+    return epoch_scan(cfg, batch_size, epoch_offset, xc_std, xv_std,
+                      step_fn, eval_fn, params, batch_stats, opt_state,
+                      train_rng)
+
+
+def epoch_scan(cfg: TrainConfig, batch_size: int, epoch_offset: int,
+               xc_std, xv_std, step_fn, eval_fn, params, batch_stats,
+               opt_state, train_rng):
+    """lax.scan over epochs (scan over minibatches) with in-carry
+    best-checkpoint selection — THE single epoch-loop implementation,
+    shared by the canonical trainer and the vmapped config-batch trainer
+    (utils.sweep.train_vae_vmapped), so batched sweeps run the exact
+    trajectory of ``train_vae`` (val_every / loss_space / RNG folding
+    included)."""
     n = xc_std.shape[0]
 
     def epoch_body(carry, epoch):

@@ -36,9 +36,8 @@ import numpy as np
 import optax
 
 from ocm_tpu.models.bundle import new_bundle, spectral_stats
-from ocm_tpu.models.trainer import (TrainConfig, TrainResult,
-                                    _batch_indices)
-from ocm_tpu.models.vae import ConvVAE1D, beta_vae_loss, init_vae
+from ocm_tpu.models.trainer import TrainConfig, TrainResult
+from ocm_tpu.models.vae import ConvVAE1D, init_vae
 from ocm_tpu.utils.io import load_json, save_json
 
 
@@ -156,7 +155,10 @@ def traced_adam(lr, weight_decay):
 def train_vae_vmapped(model: ConvVAE1D, x_cal, x_val,
                       lrs, weight_decays, betas,
                       epochs: int, batch_size: int, loss_type: str,
-                      rng: jax.Array, spec_stats=None):
+                      rng: jax.Array = None, spec_stats=None,
+                      loss_space: str = "std", val_every: int = 1,
+                      init_state=None, epoch_offset: int = 0,
+                      cfg_rngs=None):
     """Train len(lrs) configs of ONE architecture simultaneously via vmap.
 
     All configs share the data, epoch schedule and loss type; lr / weight
@@ -164,12 +166,37 @@ def train_vae_vmapped(model: ConvVAE1D, x_cal, x_val,
     have a leading config axis.  This is the TPU answer to the reference's
     sequential 96-config sweep loops (VAE_SIMCA.py:436-470): the config axis
     becomes an XLA batch dimension filling the MXU, one compile total.
+
+    Config i runs the SAME computation as ``train_vae(model, ...,
+    TrainConfig(lr=lrs[i], weight_decay=weight_decays[i], beta=betas[i],
+    ...), rng=jax.random.split(rng, n)[i])`` — the epoch loop IS
+    models.trainer.epoch_scan (val_every / loss_space / RNG folding
+    included), so the batched-sweep speedup is a true apples-to-apples
+    number.  Loss trajectories and best epochs match the sequential
+    trainer to float tolerance
+    (tests/test_sweep.py::test_vmapped_matches_sequential_trainer);
+    parameter VALUES legitimately differ at the lr scale because the
+    batched program reassociates f32 sums at the ulp level and Adam's
+    g/|g| normalization amplifies that along flat directions from the
+    first step — true of any two fp schedules of this computation.
+
+    Mid-training resume (for rung-based HPO, see ``asha_vae_search``):
+    pass ``init_state=(params, batch_stats, opt_state)`` pytrees with a
+    leading config axis (from a previous call's ``final_*`` fields) plus
+    ``epoch_offset``; per-config RNG streams continue exactly as in
+    ``train_vae``'s resume.  ``cfg_rngs`` (an (n_cfg,) key array)
+    overrides the default ``jax.random.split(rng, n_cfg)`` so callers
+    whose config population changes between calls (rung kills) can keep
+    each config's stream stable.
     """
     lrs = jnp.asarray(lrs, jnp.float32)
     weight_decays = jnp.asarray(weight_decays, jnp.float32)
     betas = jnp.asarray(betas, jnp.float32)
     n_cfg = lrs.shape[0]
     assert weight_decays.shape[0] == n_cfg and betas.shape[0] == n_cfg
+
+    from ocm_tpu.models.trainer import (epoch_scan, make_eval_loss,
+                                        make_train_step)
 
     x_cal = jnp.asarray(x_cal)
     x_val = jnp.asarray(x_val)
@@ -181,94 +208,44 @@ def train_vae_vmapped(model: ConvVAE1D, x_cal, x_val,
     std = jnp.asarray(std, x_cal.dtype)
     xc_std = (x_cal - mean) / std
     xv_std = (x_val - mean) / std
+    bs = min(batch_size, x_cal.shape[0])
+    # lr/weight_decay/beta are traced per-config; the placeholders in cfg
+    # are never read by the step (tx and beta are passed explicitly)
+    cfg = TrainConfig(epochs=epochs, batch_size=bs, loss_type=loss_type,
+                      val_every=val_every, loss_space=loss_space)
+    spec = (mean, std) if loss_space == "raw" else None
 
-    n = x_cal.shape[0]
-    bs = min(batch_size, n)
-
-    def train_one(lr, wd, beta, cfg_rng):
+    def train_one(lr, wd, beta, cfg_rng, init):
         tx = traced_adam(lr, wd)
         init_rng, train_rng = jax.random.split(cfg_rng)
-        params, batch_stats = init_vae(model, init_rng)
-        opt_state = tx.init(params)
+        if init is None:
+            params, batch_stats = init_vae(model, init_rng)
+            opt_state = tx.init(params)
+        else:
+            params, batch_stats, opt_state = init
+        step_fn = make_train_step(model, tx, cfg, spec=spec, beta=beta)
+        eval_fn = make_eval_loss(model, cfg, spec=spec, beta=beta)
+        return epoch_scan(cfg, bs, epoch_offset, xc_std, xv_std, step_fn,
+                          eval_fn, params, batch_stats, opt_state,
+                          train_rng)
 
-        def train_step(params, batch_stats, opt_state, xb, step_rng):
-            r1, r2 = jax.random.split(step_rng)
-
-            def loss_fn(p):
-                variables = {"params": p}
-                if batch_stats:
-                    variables["batch_stats"] = batch_stats
-                out, mutated = model.apply(
-                    variables, xb, train=True,
-                    rngs={"reparam": r1, "dropout": r2},
-                    mutable=["batch_stats"] if batch_stats else [])
-                x_rec, mu, logvar = out
-                total, _, _ = beta_vae_loss(xb, x_rec, mu, logvar,
-                                            beta=beta, loss_type=loss_type)
-                new_bs = (mutated.get("batch_stats", batch_stats)
-                          if batch_stats else batch_stats)
-                return total, new_bs
-
-            (total, new_bs), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            updates, new_opt = tx.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), new_bs, new_opt,
-                    total)
-
-        def eval_loss(params, batch_stats, rng_):
-            variables = {"params": params}
-            if batch_stats:
-                variables["batch_stats"] = batch_stats
-            x_rec, mu, logvar = model.apply(variables, xv_std, train=False,
-                                            rngs={"reparam": rng_})
-            total, _, _ = beta_vae_loss(xv_std, x_rec, mu, logvar,
-                                        beta=beta, loss_type=loss_type)
-            return total
-
-        def epoch_body(carry, epoch):
-            params, batch_stats, opt_state, best = carry
-            ep_rng = jax.random.fold_in(train_rng, epoch)
-            idx = _batch_indices(jax.random.fold_in(ep_rng, 0), n, bs)
-
-            def step_body(inner, si):
-                p, bst, os_ = inner
-                p, bst, os_, loss = train_step(
-                    p, bst, os_, xc_std[idx[si]],
-                    jax.random.fold_in(ep_rng, 1 + si))
-                return (p, bst, os_), loss
-
-            (params, batch_stats, opt_state), losses = jax.lax.scan(
-                step_body, (params, batch_stats, opt_state),
-                jnp.arange(idx.shape[0]))
-            vl = eval_loss(params, batch_stats,
-                           jax.random.fold_in(ep_rng, 1 + idx.shape[0]))
-            best_val, best_params, best_bs, best_ep = best
-            is_best = vl < best_val
-            take = lambda a, b: jax.tree.map(
-                lambda u, v: jnp.where(is_best, u, v), a, b)
-            best = (jnp.where(is_best, vl, best_val),
-                    take(params, best_params), take(batch_stats, best_bs),
-                    jnp.where(is_best, epoch, best_ep))
-            return (params, batch_stats, opt_state, best), (
-                jnp.mean(losses), vl)
-
-        best0 = (jnp.asarray(jnp.inf, xc_std.dtype), params, batch_stats,
-                 jnp.asarray(0))
-        carry, (tl, vls) = jax.lax.scan(
-            epoch_body, (params, batch_stats, opt_state, best0),
-            jnp.arange(epochs))
-        _, _, _, best = carry
-        best_val, best_params, best_bs, best_ep = best
-        return best_params, best_bs, best_ep, tl, vls
-
-    cfg_rngs = jax.random.split(rng, n_cfg)
-    run = jax.jit(jax.vmap(train_one))
-    best_params, best_bs, best_ep, tl, vls = run(lrs, weight_decays, betas,
-                                                 cfg_rngs)
+    if cfg_rngs is None:
+        if rng is None:
+            raise ValueError("pass rng or cfg_rngs")
+        cfg_rngs = jax.random.split(rng, n_cfg)
+    if init_state is None:
+        run = jax.jit(jax.vmap(
+            lambda lr, wd, b, r: train_one(lr, wd, b, r, None)))
+        out = run(lrs, weight_decays, betas, cfg_rngs)
+    else:
+        run = jax.jit(jax.vmap(train_one))
+        out = run(lrs, weight_decays, betas, cfg_rngs, tuple(init_state))
+    (f_params, f_bs, f_opt, best_params, best_bs, best_ep, tl, vls) = out
     bundles = jax.vmap(
         lambda p, b: new_bundle(p, b, mean, std, model.latent_dim)
     )(best_params, best_bs)
-    return TrainResult(bundles, tl, vls, best_ep, None, None, None)
+    return TrainResult(bundles, tl, vls, best_ep + epoch_offset,
+                       f_params, f_bs, f_opt)
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +298,136 @@ def random_search(objective: Callable[[dict], float], space: Mapping,
         if better:
             best_cfg, best_val = cfg, val
     return best_cfg, best_val, history
+
+
+def asha_vae_search(x_cal, x_val, space: Mapping = None, n_trials: int = 9,
+                    max_epochs: int = 27, reduction: int = 3,
+                    min_epochs: Optional[int] = None, seed: int = 42,
+                    base_config: Optional[Mapping] = None,
+                    verbose: bool = True) -> dict:
+    """Dependency-free adaptive HPO: successive halving (the synchronous
+    core of ASHA) over the resident trainers.
+
+    Capability-matches the reference's Optuna TPE + MedianPruner protocol
+    (optim_bce_nuts.py:286-307) without optuna: every trial trains
+    ``min_epochs`` first, then at each rung boundary the bottom
+    (1 - 1/reduction) of trials by best validation loss are KILLED and the
+    survivors continue training from their exact optimizer state (Adam
+    moments and RNG streams included — no retraining).  TPU-first twist:
+    within each rung, survivors sharing an architecture train as ONE
+    vmapped program (``train_vae_vmapped``), so a rung costs one compile
+    and one device dispatch per architecture group instead of one run per
+    trial.
+
+    ``space`` defaults to SEARCH_SPACE_DEFAULT (the reference's Optuna
+    space).  Sampled/base config keys: latent_dim, conv_blocks, n_filters,
+    kernel_size, hidden_fc, dropout, activation, batch_size, loss_type,
+    lr, weight_decay, beta.  Minimizes best validation loss.
+
+    Returns ``{"best_config", "best_value", "best_bundle", "history",
+    "total_epochs", "rungs"}``; ``total_epochs`` (sum of epochs actually
+    trained) is the budget to compare against ``n_trials * max_epochs``
+    for non-adaptive search.
+    """
+    import math
+
+    from ocm_tpu.models.vae import ConvVAE1D as _VAE
+
+    if space is None:
+        space = SEARCH_SPACE_DEFAULT
+    host_rng = np.random.default_rng(seed)
+    master = jax.random.key(seed)
+    base_config = dict(base_config or {})
+    trials = [{"id": t,
+               "config": {**base_config, **sample_config(space, host_rng)},
+               "best_val": np.inf, "bundle": None, "state": None,
+               "epochs": 0}
+              for t in range(n_trials)]
+
+    if min_epochs is None:
+        k0 = max(1, math.ceil(math.log(max(n_trials, reduction))
+                              / math.log(reduction)))
+        min_epochs = max(1, max_epochs // reduction ** k0)
+    rungs = []
+    r = min_epochs
+    while r < max_epochs:
+        rungs.append(r)
+        r *= reduction
+    rungs.append(max_epochs)
+
+    input_length = int(np.asarray(x_cal).shape[1])
+    spec_stats = spectral_stats(np.asarray(x_cal))
+
+    def arch_of(c):
+        return (int(c.get("latent_dim", 16)), int(c.get("conv_blocks", 3)),
+                int(c.get("n_filters", 32)), int(c.get("kernel_size", 9)),
+                int(c.get("hidden_fc", 256)), float(c.get("dropout", 0.0)),
+                c.get("activation", "elu"), int(c.get("batch_size", 64)),
+                c.get("loss_type", "cosine"))
+
+    alive = list(trials)
+    history = []
+    total_epochs = 0
+    for rung_i, target in enumerate(rungs):
+        delta = target - alive[0]["epochs"]
+        groups: dict = {}
+        for tr in alive:
+            groups.setdefault(arch_of(tr["config"]), []).append(tr)
+        for arch, grp in groups.items():
+            model = _VAE(input_length=input_length, latent_dim=arch[0],
+                         conv_blocks=arch[1], n_filters=arch[2],
+                         kernel_size=arch[3], hidden_fc=arch[4],
+                         dropout=arch[5], activation=arch[6])
+            cfgs = [tr["config"] for tr in grp]
+            cfg_rngs = jnp.stack([jax.random.fold_in(master, tr["id"])
+                                  for tr in grp])
+            init = None
+            if grp[0]["state"] is not None:
+                init = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                    *[tr["state"] for tr in grp])
+            res = train_vae_vmapped(
+                model, x_cal, x_val,
+                [float(c.get("lr", 1e-3)) for c in cfgs],
+                [float(c.get("weight_decay", 0.0)) for c in cfgs],
+                [float(c.get("beta", 1.0)) for c in cfgs],
+                epochs=delta, batch_size=arch[7], loss_type=arch[8],
+                spec_stats=spec_stats, cfg_rngs=cfg_rngs,
+                init_state=init, epoch_offset=grp[0]["epochs"])
+            vls = np.asarray(res.val_losses)            # (n_grp, delta)
+            for j, tr in enumerate(grp):
+                tr["epochs"] = target
+                v = float(np.min(vls[j]))
+                if np.isfinite(v) and v < tr["best_val"]:
+                    tr["best_val"] = v
+                    tr["bundle"] = jax.tree.map(lambda a: a[j], res.bundle)
+                tr["state"] = jax.tree.map(
+                    lambda a: a[j], (res.final_params,
+                                     res.final_batch_stats,
+                                     res.final_opt_state))
+            total_epochs += delta * len(grp)
+
+        alive.sort(key=lambda tr: tr["best_val"])
+        last_rung = rung_i == len(rungs) - 1
+        keep = len(alive) if last_rung else max(
+            1, math.ceil(len(alive) / reduction))
+        killed, alive = alive[keep:], alive[:keep]
+        history.append({
+            "rung": rung_i, "epochs": target,
+            "alive": [tr["id"] for tr in alive],
+            "killed": [tr["id"] for tr in killed],
+            "values": {tr["id"]: tr["best_val"] for tr in alive + killed}})
+        if verbose:
+            print(f"[asha] rung {rung_i} @ {target} ep: "
+                  f"kept {len(alive)}, killed {len(killed)}, "
+                  f"best={alive[0]['best_val']:.5f}")
+        if len(alive) == 1 and last_rung:
+            break
+
+    best = alive[0]
+    return {"best_config": dict(best["config"]),
+            "best_value": best["best_val"],
+            "best_bundle": best["bundle"], "history": history,
+            "total_epochs": total_epochs, "rungs": rungs}
 
 
 def pruning_report(trial) -> Callable:
