@@ -367,6 +367,74 @@ def _cv_sweep_jit(x, train_m, held_m, other_m, lvs, *, decision_type,
     return {**out, "fold_sens": sens, "fold_spec": spec}
 
 
+def cv_simca_sweep_multiclass(x, y, class_labels, lv_values: Sequence[int],
+                              n_splits: int = 5, decision_type: str = "alt",
+                              t2_method: str = "Fdist", q_method: str = "jm",
+                              t2_cl: float = 0.95, q_cl: float = 0.95,
+                              d_cl: float = 0.95, shuffle: bool = False,
+                              random_state: Optional[int] = None,
+                              solver: str = "eigh", oversample: int = 10,
+                              subspace_iters: int = 4) -> dict:
+    """Every class's full (fold x LV) CV sweep in ONE jitted program.
+
+    The reference runs its CV per target class from the driver loop
+    (e.g. simca_new_cheese.py iterating ``class_index``, each invoking
+    utils/CVSIMCA.py:103-269 from scratch).  Classes are just another
+    batch axis over the SAME single-sourced fold solve
+    (``fold_lv_sweep``), so C classes x F folds x L LVs lower to one
+    vmap-of-vmap batched program — C x F decompositions and 2 C F GEMMs
+    with zero host round trips in between.
+
+    Returns the per-class aggregates stacked on a leading class axis:
+    ``{"sens"/"spec"/"eff": (C, L), "pred": (C, L, N)}`` — row c matches
+    ``cv_simca_sweep(x, y, class_labels[c], ...)`` exactly
+    (tests/test_cv.py::test_multiclass_sweep_matches_per_class).
+    """
+    x = jnp.asarray(x)
+    y_np = np.asarray(y)
+    if solver not in ("eigh", "rsvd"):
+        raise ValueError(f"unknown solver {solver!r}; expected 'eigh' or"
+                         " 'rsvd'")
+    if decision_type == "dd":
+        t2_method = q_method = "chi2pom"
+    trains, helds, others = [], [], []
+    for c in class_labels:
+        tr, he = fold_masks(y_np, c, n_splits, shuffle, random_state)
+        trains.append(tr)
+        helds.append(he)
+        others.append(y_np != c)
+    n_sub = min(int(max(lv_values)) + oversample, x.shape[1])
+    lvs = jnp.asarray(list(lv_values), dtype=jnp.int32)
+
+    out = _cv_sweep_multiclass_jit(
+        x, jnp.asarray(np.stack(trains)), jnp.asarray(np.stack(helds)),
+        jnp.asarray(np.stack(others)), lvs, decision_type=decision_type,
+        t2_method=t2_method, q_method=q_method, t2_cl=t2_cl, q_cl=q_cl,
+        d_cl=d_cl, solver=solver, n_sub=n_sub,
+        subspace_iters=subspace_iters)
+    return jax.tree.map(np.asarray, out)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "decision_type", "t2_method", "q_method", "t2_cl", "q_cl", "d_cl",
+    "solver", "n_sub", "subspace_iters"))
+def _cv_sweep_multiclass_jit(x, train_m, held_m, other_m, lvs, *,
+                             decision_type, t2_method, q_method, t2_cl,
+                             q_cl, d_cl, solver, n_sub, subspace_iters):
+    def per_class(train_c, held_c, other_c):
+        def per_fold(w_train_b, held_b):
+            return fold_lv_sweep(
+                x, w_train_b, held_b, other_c, lvs, solver=solver,
+                n_sub=n_sub, subspace_iters=subspace_iters,
+                decision_type=decision_type, t2_method=t2_method,
+                q_method=q_method, t2_cl=t2_cl, q_cl=q_cl, d_cl=d_cl)
+
+        accept, sens, spec = jax.vmap(per_fold)(train_c, held_c)
+        return pooled_aggregate(accept, spec, held_c, other_c, x.dtype)
+
+    return jax.vmap(per_class)(train_m, held_m, other_m)
+
+
 # ---------------------------------------------------------------------------
 # Grid search wrapper with the reference's API shape.
 # ---------------------------------------------------------------------------

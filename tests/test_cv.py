@@ -220,3 +220,35 @@ def test_sweep_rejects_bad_solver(dataset):
     x, y = dataset
     with pytest.raises(ValueError, match="solver"):
         cv_simca_sweep(x, y, 0, [2, 3], n_splits=4, solver="qr")
+
+
+def test_multiclass_sweep_matches_per_class():
+    """cv_simca_sweep_multiclass: C classes' whole (fold x LV) grids in
+    one jitted program; every row equals the per-class sweep."""
+    from ocm_tpu.models.cv import cv_simca_sweep, cv_simca_sweep_multiclass
+
+    rng = np.random.default_rng(17)
+    t = np.linspace(0, 1, 40)
+
+    def block(c, n):
+        base = np.sin(2 * np.pi * (3 + 0.7 * c) * t) + 0.25 * c
+        return (rng.normal(1, 0.08, (n, 1)) * base
+                + rng.normal(0, 0.02, (n, 40)))
+
+    x = np.concatenate([block(0, 60), block(1, 45), block(2, 36)])
+    y = np.concatenate([np.zeros(60), np.ones(45), np.full(36, 2)])
+    lvs = [2, 3, 5]
+    for solver in ("eigh", "rsvd"):
+        got = cv_simca_sweep_multiclass(x, y, [0, 1, 2], lvs, n_splits=4,
+                                        solver=solver)
+        assert got["eff"].shape == (3, len(lvs))
+        for c in range(3):
+            want = cv_simca_sweep(x, y, c, lvs, n_splits=4, solver=solver)
+            np.testing.assert_allclose(got["spec"][c], want["spec"],
+                                       atol=1e-8)
+            np.testing.assert_allclose(got["sens"][c], want["sens"],
+                                       atol=1e-8)
+            np.testing.assert_array_equal(got["pred"][c], want["pred"])
+
+    with pytest.raises(ValueError, match="solver"):
+        cv_simca_sweep_multiclass(x, y, [0, 1], [2], solver="nope")

@@ -392,6 +392,37 @@ def test_load_cheese_mat_v73(tmp_path, rng):
     np.testing.assert_array_equal(d, y_ts - 1)
 
 
+def test_load_cheese_mat_v73_cell_class(tmp_path, rng):
+    """v7.3 with the class vector stored as a MATLAB CELL array (HDF5
+    object-reference dataset) — the dereference branch of _h5_read."""
+    import h5py
+
+    from ocm_tpu.utils.io import load_cheese_mat
+
+    x_tr = rng.normal(0, 1, (9, 5))
+    y_tr = rng.integers(1, 3, 9)
+    path = str(tmp_path / "cell_v73.mat")
+    with h5py.File(path, "w", userblock_size=512) as f:
+        refs = f.create_group("#refs#")
+        for key, x, y in (("Xtr", x_tr, y_tr), ("Xts", x_tr[:4], y_tr[:4])):
+            g = f.create_group(key)
+            g.create_dataset("data", data=x.T)
+            # cell array {y}: a (1, 1) reference dataset pointing at the
+            # column vector, like MATLAB writes nested cells
+            target = refs.create_dataset(
+                f"{key}_class0", data=y.reshape(-1, 1).astype(float).T)
+            cell = g.create_dataset(
+                "class", shape=(1, 1), dtype=h5py.ref_dtype)
+            cell[0, 0] = target.ref
+    with open(path, "r+b") as f:
+        text = b"MATLAB 7.3 MAT-file"
+        f.write(text + b" " * (124 - len(text)) + bytes([0x00, 0x02]) + b"IM")
+    a, b, c, d = load_cheese_mat(path)
+    np.testing.assert_allclose(a, x_tr)
+    np.testing.assert_array_equal(b, y_tr - 1)
+    np.testing.assert_array_equal(d, y_tr[:4] - 1)
+
+
 def test_load_swir_mat_v73_and_substring_shadowing(tmp_path, rng):
     """v7.3 SWIR cubes load with axes restored, and a class name that
     contains another ('walnut' vs 'nut') is matched longest-first instead
