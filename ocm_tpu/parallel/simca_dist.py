@@ -208,6 +208,84 @@ def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
     return jax.tree.map(np.asarray, out)
 
 
+def cv_sweep_sharded_multiclass(x, y, class_labels, lv_values, mesh: Mesh,
+                                n_splits: int = 5,
+                                model_axis: str = "model",
+                                decision_type: str = "alt",
+                                t2_method: str = "Fdist",
+                                q_method: str = "jm", t2_cl: float = 0.95,
+                                q_cl: float = 0.95, d_cl: float = 0.95,
+                                solver: str = "eigh", oversample: int = 10,
+                                subspace_iters: int = 4):
+    """EVERY class's CV sweep with the flattened (class x fold) axis
+    sharded over ``mesh[model_axis]``.
+
+    The reference's outermost protocol loop (target class) and its CV
+    fold loop both become ONE device axis: C classes x F folds flatten to
+    C*F independent fit units, pad cyclically to the mesh size, and each
+    chip runs its units through the single-sourced
+    ``models.cv.fold_lv_sweep``.  The cheese protocol's 5 classes x
+    5 folds = 25 fits fill an 8-chip mesh in 4 waves with zero cross-chip
+    traffic; per-class pooled aggregation runs on the replicated outputs.
+
+    Per-class rows match ``cv_simca_sweep_multiclass`` (and therefore the
+    local per-class sweeps) exactly
+    (tests/test_parallel.py::test_cv_sweep_sharded_multiclass).
+    """
+    import numpy as np
+
+    from ocm_tpu.models import cv as cv_mod
+
+    _check_solver(solver)
+    x = jnp.asarray(x)
+    y_np = np.asarray(y)
+    if decision_type == "dd":
+        t2_method = q_method = "chi2pom"
+    n_classes = len(class_labels)
+    trains, helds, others = [], [], []
+    for c in class_labels:
+        tr, he = cv_mod.fold_masks(y_np, c, n_splits)
+        trains.append(tr)
+        helds.append(he)
+        others.append(np.broadcast_to(y_np != c, tr.shape))
+    flat_train = np.concatenate(trains)       # (C*F, N)
+    flat_held = np.concatenate(helds)
+    flat_other = np.concatenate(others)
+    n_units = flat_train.shape[0]
+    n_chips = mesh.shape[model_axis]
+    pad = (-n_units) % n_chips
+    if pad:
+        reps = np.arange(pad) % n_units
+        flat_train = np.concatenate([flat_train, flat_train[reps]])
+        flat_held = np.concatenate([flat_held, flat_held[reps]])
+        flat_other = np.concatenate([flat_other, flat_other[reps]])
+    lvs = jnp.asarray(list(lv_values), dtype=jnp.int32)
+    n_sub = min(int(max(lv_values)) + oversample, x.shape[1])
+
+    def per_unit(w_train_b, held_b, other_b):
+        return cv_mod.fold_lv_sweep(
+            x, w_train_b, held_b, other_b, lvs, solver=solver, n_sub=n_sub,
+            subspace_iters=subspace_iters, decision_type=decision_type,
+            t2_method=t2_method, q_method=q_method, t2_cl=t2_cl, q_cl=q_cl,
+            d_cl=d_cl)
+
+    sh = NamedSharding(mesh, P(model_axis))
+    run = jax.jit(jax.vmap(per_unit), in_shardings=(sh, sh, sh),
+                  out_shardings=(sh, sh, sh))
+    accept, sens, spec = run(jnp.asarray(flat_train),
+                             jnp.asarray(flat_held),
+                             jnp.asarray(flat_other))
+    accept = accept[:n_units].reshape(n_classes, n_splits, *accept.shape[1:])
+    spec = spec[:n_units].reshape(n_classes, n_splits, -1)
+
+    out = jax.vmap(
+        lambda acc_c, spec_c, held_c, other_c: cv_mod.pooled_aggregate(
+            acc_c, spec_c, held_c, other_c, x.dtype)
+    )(accept, spec, jnp.asarray(np.stack(helds)),
+      jnp.asarray(np.stack([o[0] for o in others])))
+    return jax.tree.map(np.asarray, out)
+
+
 def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
                         n_splits: int = 5, model_axis: str = "model",
                         data_axis: str = "data", decision_type: str = "alt",

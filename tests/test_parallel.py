@@ -263,3 +263,28 @@ def test_cv_sweep_2d_rsvd_matches_local_rsvd(cls_data):
     want = cv_simca_sweep(x, y, 0, lvs, n_splits=4, solver="rsvd")
     np.testing.assert_allclose(got["spec"], want["spec"], atol=1e-8)
     np.testing.assert_allclose(got["sens"], want["sens"], atol=1e-8)
+
+
+def test_cv_sweep_sharded_multiclass(cls_data):
+    """(class x fold) flattened onto the model axis: every class's sweep
+    matches the local multi-class (and hence per-class) results, including
+    when C*F does not divide the chip count (25 units on 8 chips)."""
+    from ocm_tpu.models.cv import cv_simca_sweep_multiclass
+    from ocm_tpu.parallel.simca_dist import cv_sweep_sharded_multiclass
+
+    rng = np.random.default_rng(23)
+    x_b = make_class_spectra(rng, 50, 40, center_shift=1.2)
+    x_c = make_class_spectra(rng, 42, 40, center_shift=2.4)
+    x = np.concatenate([cls_data, x_b, x_c])
+    y = np.concatenate([np.zeros(len(cls_data)), np.ones(len(x_b)),
+                        np.full(len(x_c), 2)])
+    mesh = make_mesh((8,), ("model",))
+    lvs = [2, 4]
+    for solver in ("eigh", "rsvd"):
+        got = cv_sweep_sharded_multiclass(x, y, [0, 1, 2], lvs, mesh,
+                                          n_splits=5, solver=solver)
+        want = cv_simca_sweep_multiclass(x, y, [0, 1, 2], lvs, n_splits=5,
+                                         solver=solver)
+        np.testing.assert_allclose(got["spec"], want["spec"], atol=1e-8)
+        np.testing.assert_allclose(got["sens"], want["sens"], atol=1e-8)
+        np.testing.assert_array_equal(got["pred"], want["pred"])
