@@ -45,6 +45,20 @@ def main(lv_min=2, lv_max=12, n_splits=5, refit_metric="eff", solver="svd",
             save_path=os.path.join(out_dir, "cv_curve.png"))
     print(f"best: LV={res['best_LV']} params={res['best_params']} "
           f"{refit_metric}={res['best_score']:.3f}")
+
+    # TPU-first extension: EVERY class's whole (fold x LV) grid in one
+    # jitted program (the reference loops target classes in the driver)
+    from ocm_tpu.models.cv import cv_simca_sweep_multiclass
+
+    classes = sorted(int(c) for c in np.unique(y_tr))
+    mc = cv_simca_sweep_multiclass(
+        x_tr, y_tr, classes, list(range(lv_min, lv_max + 1)),
+        n_splits=n_splits,
+        solver="rsvd" if solver == "rsvd" else "eigh")
+    for i, c in enumerate(classes):
+        j = int(np.argmax(mc["eff"][i]))
+        print(f"  class {c}: best LV={lv_min + j} "
+              f"eff={mc['eff'][i][j]:.3f}")
     return res
 
 
