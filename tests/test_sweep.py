@@ -172,6 +172,27 @@ def test_asha_kills_bad_configs_early():
     assert out2["best_value"] == out["best_value"]
 
 
+def test_asha_groups_architectures():
+    """Trials with different architectures (latent_dim in the space) group
+    into separate vmapped rung programs and still rank/kill globally."""
+    from ocm_tpu.utils.sweep import asha_vae_search
+
+    rng = np.random.default_rng(8)
+    x_cal, x_val = make_data(rng, 64), make_data(rng, 24)
+    space = {"lr": ("loguniform", 1e-4, 3e-3),
+             "latent_dim": ("categorical", [4, 8])}
+    base = {"conv_blocks": 2, "n_filters": 8, "hidden_fc": 32,
+            "batch_size": 32, "loss_type": "euclidean"}
+    # seed 0 samples latent dims [8, 4, 4, 8] -> two architecture groups
+    out = asha_vae_search(x_cal, x_val, space, n_trials=4, max_epochs=4,
+                          reduction=2, min_epochs=2, seed=0,
+                          base_config=base, verbose=False)
+    assert out["best_config"]["latent_dim"] in (4, 8)
+    assert np.isfinite(out["best_value"])
+    assert out["total_epochs"] < 4 * 4
+    assert len(out["history"][0]["killed"]) == 2
+
+
 def test_random_search_deterministic():
     space = {"lr": ("loguniform", 1e-4, 1e-2),
              "latent_dim": ("int", 4, 16),
