@@ -131,6 +131,14 @@ def make_train_step(model: ConvVAE1D, tx, cfg: TrainConfig, spec=None,
                 rngs={"reparam": r1, "dropout": r2},
                 mutable=["batch_stats"] if batch_stats else [])
             x_rec, mu, logvar = out
+            # mixed-precision contract: a reduced-precision model (e.g.
+            # ConvVAE1D(dtype=bf16) — conv GEMMs on the MXU's native
+            # tier) still gets f32 losses, KL reductions and gradients;
+            # params/Adam moments are f32 throughout (flax param_dtype).
+            # No-op for the default f32 model.
+            x_rec = x_rec.astype(xb_std.dtype)
+            mu = mu.astype(xb_std.dtype)
+            logvar = logvar.astype(xb_std.dtype)
             x_cmp, r_cmp = _loss_pair(cfg, xb_std, x_rec, spec)
             total, recon, kl = beta_vae_loss(x_cmp, r_cmp, mu, logvar,
                                              beta=beta,
@@ -161,6 +169,9 @@ def make_eval_loss(model: ConvVAE1D, cfg: TrainConfig, spec=None,
             variables["batch_stats"] = batch_stats
         x_rec, mu, logvar = model.apply(variables, x_std, train=False,
                                         rngs={"reparam": rng})
+        x_rec = x_rec.astype(x_std.dtype)           # f32 loss reductions
+        mu = mu.astype(x_std.dtype)                 # (see make_train_step)
+        logvar = logvar.astype(x_std.dtype)
         x_cmp, r_cmp = _loss_pair(cfg, x_std, x_rec, spec)
         total, _, _ = beta_vae_loss(x_cmp, r_cmp, mu, logvar, beta=beta,
                                     loss_type=cfg.loss_type)

@@ -85,10 +85,16 @@ class SIMCAScorer(_ChunkedScorer):
     multiplies C-fold.  Outputs then carry a trailing class axis:
     ``accept``/``dred``/``t2``/``q`` are (N, C).
 
-    ``store_dtype=jnp.bfloat16`` enables the bandwidth-halving serving
-    path: each chunk is centered in f32 ON THE HOST — by the model mean
-    (single class) or by the shared mean-of-class-means offset
-    (multi-class) — and shipped/streamed as the bf16 residual
+    Multi-class chunks are ALWAYS centered in f32 on the host against the
+    shared mean-of-class-means offset before the fused Q expansion — on
+    raw spectra with a large common mode the expansion's ~eps*||x||^2
+    cancellation error would otherwise flip boundary decisions that the
+    per-class (center-then-square) path gets exactly.
+
+    ``store_dtype=jnp.bfloat16`` additionally enables the
+    bandwidth-halving serving path: the host-centered residual — against
+    the model mean (single class) or the shared offset (multi-class) —
+    is shipped/streamed as the bf16 residual
     (quantization error then scales with the small residual, not the
     spectrum's common mode — see ops.linalg.t2_q_scores_multiclass), with
     f32 accumulation and statistics.  Measured 1.9x scoring throughput
@@ -104,14 +110,20 @@ class SIMCAScorer(_ChunkedScorer):
                                         != jnp.dtype(jnp.bfloat16)):
             raise ValueError("store_dtype supports only jnp.bfloat16")
         self._center = None
+        self._store_dtype = store_dtype
         if np.ndim(model.mean) == 2:             # stacked multi-class model
-            x_offset = None
-            if store_dtype is not None:
-                # one offset shared by every class so the residuals ship
-                # once: the mean of the class means
-                self._center = np.mean(np.asarray(model.mean, np.float32),
-                                       axis=0)
-                x_offset = jnp.asarray(self._center)
+            # ALWAYS pre-center on the host against the shared
+            # mean-of-class-means offset (it folds into the class means
+            # algebraically).  The fused Q expansion carries
+            # ~eps*||x||^2 cancellation error, so screening RAW f32
+            # spectra with a large common mode through it can flip
+            # boundary decisions relative to C single-class scorers
+            # (which center before squaring); centering the chunk makes
+            # the f32 path exact too, and with store_dtype=bf16 the
+            # residual additionally ships at half width.
+            self._center = np.mean(np.asarray(model.mean, np.float32),
+                                   axis=0)
+            x_offset = jnp.asarray(self._center)
 
             def decide(xc):
                 accept, dred, t2, q = predict_classes(
@@ -136,12 +148,14 @@ class SIMCAScorer(_ChunkedScorer):
 
     def score(self, x) -> dict:
         if self._center is not None:
-            import ml_dtypes
+            # center in f32 on the host; with store_dtype=bf16 the
+            # residual ships at half width (halving the host->device
+            # transfer AND the device-side streaming read)
+            x = np.asarray(x, np.float32) - self._center[None, :]
+            if self._store_dtype is not None:
+                import ml_dtypes
 
-            # center in f32 on the host, ship bf16 residuals: halves the
-            # host->device transfer AND the device-side streaming read
-            x = (np.asarray(x, np.float32) - self._center[None, :]
-                 ).astype(ml_dtypes.bfloat16)
+                x = x.astype(ml_dtypes.bfloat16)
         return super().score(x)
 
 

@@ -57,27 +57,49 @@ def _unwrap_cell(value):
         if value.size == 1:
             value = np.asarray(value.reshape(-1)[0])
         else:
-            value = np.stack([np.squeeze(_unwrap_cell(e))
-                              for e in value.reshape(-1)])
+            elems = [np.squeeze(_unwrap_cell(e)) for e in value.reshape(-1)]
+            shapes = sorted({np.shape(e) for e in elems})
+            if len(shapes) > 1:
+                raise ValueError(
+                    "ragged MATLAB cell array: elements have mismatched "
+                    f"shapes {shapes[:4]}{'...' if len(shapes) > 4 else ''} "
+                    "— this loader expects rectangular cell contents")
+            value = np.stack(elems)
     return value
 
 
 def _h5_read(node, file):
-    """One HDF5 node of a MATLAB v7.3 file -> numpy/dict.
+    """One HDF5 node of a MATLAB v7.3 file -> numpy/dict/str.
 
     MATLAB writes arrays column-major, so every dataset's axes arrive
     reversed (``.T`` restores MATLAB orientation); structs are HDF5
     groups; cell arrays are object-reference datasets, dereferenced
-    element-wise."""
+    element-wise (ragged cells come back as an object array rather than
+    an opaque np.stack shape error); char arrays are stored as uint16
+    code units and are decoded to Python strings."""
     import h5py
 
     if isinstance(node, h5py.Group):
         return {k: _h5_read(v, file) for k, v in node.items()}
     data = node[()]
+    mat_class = node.attrs.get("MATLAB_class", b"")
+    if isinstance(mat_class, bytes):
+        mat_class = mat_class.decode("ascii", "replace")
+    if mat_class == "char":
+        rows = np.atleast_2d(np.asarray(data).T)
+        strings = ["".join(map(chr, row)) for row in rows.astype(np.uint32)]
+        return strings[0] if len(strings) == 1 else np.asarray(strings)
     if isinstance(data, np.ndarray) and data.dtype.kind == "O":
         # cell array: dereference each element through the file
         items = [_h5_read(file[ref], file) for ref in data.reshape(-1)]
-        return np.stack([np.squeeze(np.asarray(e)) for e in items])
+        vals = [np.squeeze(np.asarray(e)) if isinstance(e, np.ndarray)
+                else e for e in items]
+        if (vals and all(isinstance(v, np.ndarray) for v in vals)
+                and len({v.shape for v in vals}) == 1):
+            return np.stack(vals)
+        out = np.empty(len(vals), dtype=object)   # ragged / mixed cell
+        out[:] = vals
+        return out
     return np.asarray(data).T
 
 

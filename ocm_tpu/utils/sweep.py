@@ -26,6 +26,7 @@ TPU-first additions:
 
 from __future__ import annotations
 
+import functools
 import itertools
 import os
 from typing import Callable, Mapping, Optional, Sequence
@@ -36,7 +37,8 @@ import numpy as np
 import optax
 
 from ocm_tpu.models.bundle import new_bundle, spectral_stats
-from ocm_tpu.models.trainer import TrainConfig, TrainResult
+from ocm_tpu.models.trainer import (TrainConfig, TrainResult, epoch_scan,
+                                    make_eval_loss, make_train_step)
 from ocm_tpu.models.vae import ConvVAE1D, init_vae
 from ocm_tpu.utils.io import load_json, save_json
 
@@ -152,6 +154,41 @@ def traced_adam(lr, weight_decay):
                        optax.scale(-lr))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("model", "cfg", "batch_size", "epoch_offset"))
+def _vmapped_train_loop(model: ConvVAE1D, cfg: TrainConfig, batch_size: int,
+                        epoch_offset: int, xc_std, xv_std, mean, std,
+                        lrs, weight_decays, betas, cfg_rngs, init_state):
+    """The vmapped config-batch epoch loop as ONE module-level cached jit.
+
+    Keyed on (model, cfg, batch_size, epoch_offset) plus the pytree
+    structure of ``init_state`` (None for fresh runs) — repeated calls
+    with the same architecture and epoch count (ASHA rungs, sweep
+    benchmarks) hit the compile cache instead of re-tracing a per-call
+    closure (the same trap CLAUDE.md records for trainer._train_loop)."""
+    spec = (mean, std) if cfg.loss_space == "raw" else None
+
+    def train_one(lr, wd, beta, cfg_rng, init):
+        tx = traced_adam(lr, wd)
+        init_rng, train_rng = jax.random.split(cfg_rng)
+        if init is None:
+            params, batch_stats = init_vae(model, init_rng)
+            opt_state = tx.init(params)
+        else:
+            params, batch_stats, opt_state = init
+        step_fn = make_train_step(model, tx, cfg, spec=spec, beta=beta)
+        eval_fn = make_eval_loss(model, cfg, spec=spec, beta=beta)
+        return epoch_scan(cfg, batch_size, epoch_offset, xc_std, xv_std,
+                          step_fn, eval_fn, params, batch_stats, opt_state,
+                          train_rng)
+
+    if init_state is None:
+        return jax.vmap(lambda lr, wd, b, r: train_one(lr, wd, b, r, None)
+                        )(lrs, weight_decays, betas, cfg_rngs)
+    return jax.vmap(train_one)(lrs, weight_decays, betas, cfg_rngs,
+                               init_state)
+
+
 def train_vae_vmapped(model: ConvVAE1D, x_cal, x_val,
                       lrs, weight_decays, betas,
                       epochs: int, batch_size: int, loss_type: str,
@@ -195,9 +232,6 @@ def train_vae_vmapped(model: ConvVAE1D, x_cal, x_val,
     n_cfg = lrs.shape[0]
     assert weight_decays.shape[0] == n_cfg and betas.shape[0] == n_cfg
 
-    from ocm_tpu.models.trainer import (epoch_scan, make_eval_loss,
-                                        make_train_step)
-
     x_cal = jnp.asarray(x_cal)
     x_val = jnp.asarray(x_val)
     if spec_stats is None:
@@ -213,33 +247,15 @@ def train_vae_vmapped(model: ConvVAE1D, x_cal, x_val,
     # are never read by the step (tx and beta are passed explicitly)
     cfg = TrainConfig(epochs=epochs, batch_size=bs, loss_type=loss_type,
                       val_every=val_every, loss_space=loss_space)
-    spec = (mean, std) if loss_space == "raw" else None
-
-    def train_one(lr, wd, beta, cfg_rng, init):
-        tx = traced_adam(lr, wd)
-        init_rng, train_rng = jax.random.split(cfg_rng)
-        if init is None:
-            params, batch_stats = init_vae(model, init_rng)
-            opt_state = tx.init(params)
-        else:
-            params, batch_stats, opt_state = init
-        step_fn = make_train_step(model, tx, cfg, spec=spec, beta=beta)
-        eval_fn = make_eval_loss(model, cfg, spec=spec, beta=beta)
-        return epoch_scan(cfg, bs, epoch_offset, xc_std, xv_std, step_fn,
-                          eval_fn, params, batch_stats, opt_state,
-                          train_rng)
 
     if cfg_rngs is None:
         if rng is None:
             raise ValueError("pass rng or cfg_rngs")
         cfg_rngs = jax.random.split(rng, n_cfg)
-    if init_state is None:
-        run = jax.jit(jax.vmap(
-            lambda lr, wd, b, r: train_one(lr, wd, b, r, None)))
-        out = run(lrs, weight_decays, betas, cfg_rngs)
-    else:
-        run = jax.jit(jax.vmap(train_one))
-        out = run(lrs, weight_decays, betas, cfg_rngs, tuple(init_state))
+    init = tuple(init_state) if init_state is not None else None
+    out = _vmapped_train_loop(model, cfg, bs, epoch_offset, xc_std, xv_std,
+                              mean, std, lrs, weight_decays, betas,
+                              cfg_rngs, init)
     (f_params, f_bs, f_opt, best_params, best_bs, best_ep, tl, vls) = out
     bundles = jax.vmap(
         lambda p, b: new_bundle(p, b, mean, std, model.latent_dim)
@@ -333,6 +349,13 @@ def asha_vae_search(x_cal, x_val, space: Mapping = None, n_trials: int = 9,
 
     from ocm_tpu.models.vae import ConvVAE1D as _VAE
 
+    if reduction < 2:
+        raise ValueError(f"reduction must be >= 2, got {reduction}")
+    if n_trials < 1 or max_epochs < 1:
+        raise ValueError("n_trials and max_epochs must be >= 1")
+    if min_epochs is not None and not 1 <= min_epochs <= max_epochs:
+        raise ValueError(
+            f"min_epochs must be in [1, max_epochs], got {min_epochs}")
     if space is None:
         space = SEARCH_SPACE_DEFAULT
     host_rng = np.random.default_rng(seed)
@@ -411,6 +434,13 @@ def asha_vae_search(x_cal, x_val, space: Mapping = None, n_trials: int = 9,
         keep = len(alive) if last_rung else max(
             1, math.ceil(len(alive) / reduction))
         killed, alive = alive[keep:], alive[:keep]
+        for tr in killed:
+            # a killed trial never trains again and can never become the
+            # winner — drop its stacked device state (params + batch_stats
+            # + Adam moments) and bundle so HBM isn't held for the rest of
+            # the search
+            tr["state"] = None
+            tr["bundle"] = None
         history.append({
             "rung": rung_i, "epochs": target,
             "alive": [tr["id"] for tr in alive],
@@ -424,6 +454,11 @@ def asha_vae_search(x_cal, x_val, space: Mapping = None, n_trials: int = 9,
             break
 
     best = alive[0]
+    if best["bundle"] is None:
+        raise RuntimeError(
+            "asha_vae_search: no trial produced a finite validation loss "
+            "(all trajectories diverged) — widen/lower the lr range or "
+            "check the loss_type against the data scale")
     return {"best_config": dict(best["config"]),
             "best_value": best["best_val"],
             "best_bundle": best["bundle"], "history": history,

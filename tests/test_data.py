@@ -444,6 +444,45 @@ def test_load_swir_mat_v73_and_substring_shadowing(tmp_path, rng):
     np.testing.assert_allclose(cubes["nut"][0], cube_n, rtol=1e-6)
 
 
+def test_h5_char_decode_and_ragged_cells(tmp_path, rng):
+    """v7.3 oddities a real MATLAB file can carry: char data (stored as
+    uint16 code units) decodes to Python strings instead of silently
+    loading as meaningless integer codes, and ragged cell arrays come
+    back as an object array (with _unwrap_cell raising a CLEAR schema
+    error) rather than an opaque np.stack shape error."""
+    import h5py
+
+    from ocm_tpu.utils.io import _loadmat, _unwrap_cell
+
+    path = str(tmp_path / "odd_v73.mat")
+    a = rng.normal(0, 1, (3, 4))
+    b = rng.normal(0, 1, (2, 4))          # ragged vs a
+    with h5py.File(path, "w", userblock_size=512) as f:
+        ch = f.create_dataset(
+            "label", data=np.array([ord(c) for c in "peanut"],
+                                   np.uint16).reshape(-1, 1))
+        ch.attrs["MATLAB_class"] = np.bytes_("char")
+        refs = f.create_group("#refs#")
+        t1 = refs.create_dataset("c0", data=a.T)
+        t2 = refs.create_dataset("c1", data=b.T)
+        cell = f.create_dataset("ragged", shape=(2, 1),
+                                dtype=h5py.ref_dtype)
+        cell[0, 0] = t1.ref
+        cell[1, 0] = t2.ref
+    with open(path, "r+b") as f:
+        text = b"MATLAB 7.3 MAT-file"
+        f.write(text + b" " * (124 - len(text)) + bytes([0x00, 0x02]) + b"IM")
+
+    raw = _loadmat(path)
+    assert raw["label"] == "peanut"
+    ragged = raw["ragged"]
+    assert ragged.dtype == object and len(ragged) == 2
+    np.testing.assert_allclose(ragged[0], a)
+    np.testing.assert_allclose(ragged[1], b)
+    with pytest.raises(ValueError, match="ragged MATLAB cell"):
+        _unwrap_cell(ragged)
+
+
 def test_load_swir_mat_errors(tmp_path, rng):
     scipy_io = pytest.importorskip("scipy.io")
 

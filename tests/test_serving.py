@@ -183,6 +183,34 @@ def test_simca_scorer_multiclass_matches_single_scorers(stacked_models):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_simca_scorer_multiclass_raw_common_mode():
+    """Raw-count-scale spectra (common mode ~1e4): the multi-class scorer
+    must agree with per-class scorers even in f32 — the fused Q expansion
+    carries ~eps*||x||^2 cancellation error, so the scorer ALWAYS centers
+    chunks on the host against the shared mean-of-class-means offset
+    (regression: the round-3 f32 path scored raw spectra uncentered and
+    only ~73% of accept decisions matched)."""
+    from ocm_tpu.models.simca import fit_classes
+
+    rng = np.random.default_rng(11)
+    blocks = [1e4 + 50.0 * make_class_spectra(rng, 90, 64,
+                                              center_shift=0.5 * c)
+              for c in range(3)]
+    x = np.concatenate(blocks).astype(np.float32)
+    y = np.repeat(np.arange(3), 90)
+    models = fit_classes(x, y, [0, 1, 2], 4)
+    x_new = (1e4 + 50.0 * make_class_spectra(rng, 211, 64, center_shift=0.3)
+             ).astype(np.float32)
+    fused = SIMCAScorer(models, chunk_size=96)
+    out = fused.score(x_new)
+    for c in range(3):
+        single = SIMCAScorer(jax.tree.map(lambda a: a[c], models),
+                             chunk_size=96)
+        ref = single.score(x_new)
+        assert np.mean(out["accept"][:, c] == ref["accept"]) >= 0.999
+        np.testing.assert_allclose(out["q"][:, c], ref["q"], rtol=1e-3)
+
+
 def test_simca_scorer_multiclass_bf16(stacked_models):
     """bf16 multi-class serving: one shared f32 offset, residuals shipped
     bf16, decisions match the f32 fused scorer."""

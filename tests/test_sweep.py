@@ -193,6 +193,24 @@ def test_asha_groups_architectures():
     assert len(out["history"][0]["killed"]) == 2
 
 
+def test_asha_validates_arguments():
+    """reduction < 2 must raise up front (reduction=1 previously hung the
+    rung-building loop forever or raised ZeroDivisionError), as must
+    nonsensical trial/epoch counts."""
+    from ocm_tpu.utils.sweep import asha_vae_search
+
+    x = np.zeros((8, 16), np.float32)
+    with pytest.raises(ValueError, match="reduction"):
+        asha_vae_search(x, x, n_trials=4, max_epochs=6, reduction=1,
+                        min_epochs=2)
+    with pytest.raises(ValueError, match="reduction"):
+        asha_vae_search(x, x, reduction=0)
+    with pytest.raises(ValueError, match="n_trials"):
+        asha_vae_search(x, x, n_trials=0)
+    with pytest.raises(ValueError, match="min_epochs"):
+        asha_vae_search(x, x, max_epochs=6, min_epochs=9)
+
+
 def test_random_search_deterministic():
     space = {"lr": ("loguniform", 1e-4, 1e-2),
              "latent_dim": ("int", 4, 16),

@@ -366,6 +366,29 @@ def test_no_batchnorm_variant_trains():
     assert np.all(np.isfinite(np.asarray(result.train_losses)))
 
 
+def test_bf16_mixed_precision_training():
+    """ConvVAE1D(dtype=bf16) under the canonical trainer: network compute
+    in bf16 (MXU-native tier), but f32 master params/Adam moments and —
+    via the trainer's output upcast — f32 losses and KL reductions.
+    The trajectory must stay finite, reduce the loss, and land in the
+    same neighborhood as the f32 run."""
+    rng = np.random.default_rng(13)
+    x_cal, x_val = make_data(rng, 96), make_data(rng, 32)
+    cfg = TrainConfig(epochs=10, batch_size=32, lr=2e-3,
+                      loss_type="euclidean")
+    r32 = train_vae(small_model(), x_cal, x_val, cfg, jax.random.key(3))
+    r16 = train_vae(small_model(dtype=jnp.bfloat16), x_cal, x_val, cfg,
+                    jax.random.key(3))
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree.leaves(r16.final_params))
+    assert r16.train_losses.dtype == jnp.float32
+    tl = np.asarray(r16.train_losses)
+    assert np.all(np.isfinite(tl)) and tl[-1] < tl[0]
+    v32 = float(np.min(np.asarray(r32.val_losses)))
+    v16 = float(np.min(np.asarray(r16.val_losses)))
+    assert abs(v16 - v32) < 0.15 * abs(v32) + 1e-3
+
+
 def test_fit_thresholds_on_heldout(trained):
     """x_threshold: latent stats from calibration, percentiles from held-out
     spectra — thresholds widen to cover the held-out distribution."""
