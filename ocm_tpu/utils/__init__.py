@@ -1,3 +1,5 @@
-from ocm_tpu.utils import io, outliers, profiling, report, splits, sweep
+from ocm_tpu.utils import (io, outliers, profiling, report, splits, sweep,
+                           tpe)
 
-__all__ = ["io", "outliers", "profiling", "report", "splits", "sweep"]
+__all__ = ["io", "outliers", "profiling", "report", "splits", "sweep",
+           "tpe"]
