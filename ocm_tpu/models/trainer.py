@@ -312,15 +312,20 @@ def train_vae_blocked(model: ConvVAE1D, x_cal, x_val, cfg: TrainConfig,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "cfg", "batch_size", "epoch_offset"))
+    jax.jit, static_argnames=("model", "cfg", "batch_size"))
 def _train_loop(model: ConvVAE1D, cfg: TrainConfig, batch_size: int,
-                epoch_offset: int, xc_std, xv_std, mean, std, params,
+                epoch_offset, xc_std, xv_std, mean, std, params,
                 batch_stats, opt_state, train_rng):
     """The whole multi-epoch loop as ONE cached compiled program.
 
-    Module-level jit keyed on (model, cfg, batch_size, epoch_offset) and the
-    array shapes — repeated calls (sweeps, resumes, benchmarks) hit the
-    compile cache instead of re-tracing a per-call closure.
+    Module-level jit keyed on (model, cfg, batch_size) and the array
+    shapes — repeated calls (sweeps, resumes, benchmarks) hit the compile
+    cache instead of re-tracing a per-call closure.  ``epoch_offset`` is a
+    TRACED scalar (it only feeds RNG fold_in and the val_every modulus), so
+    mid-train resumes — per-epoch blocked pruning cadence included — reuse
+    the same executable at every offset instead of recompiling per block
+    (at block_epochs=1 the static version cost one full-loop compile PER
+    EPOCH of every pruned HPO trial).
     """
     tx = torch_adam(cfg.lr, cfg.weight_decay)
     spec = (mean, std) if cfg.loss_space == "raw" else None

@@ -155,17 +155,20 @@ def traced_adam(lr, weight_decay):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "cfg", "batch_size", "epoch_offset"))
+    jax.jit, static_argnames=("model", "cfg", "batch_size"))
 def _vmapped_train_loop(model: ConvVAE1D, cfg: TrainConfig, batch_size: int,
-                        epoch_offset: int, xc_std, xv_std, mean, std,
+                        epoch_offset, xc_std, xv_std, mean, std,
                         lrs, weight_decays, betas, cfg_rngs, init_state):
     """The vmapped config-batch epoch loop as ONE module-level cached jit.
 
-    Keyed on (model, cfg, batch_size, epoch_offset) plus the pytree
-    structure of ``init_state`` (None for fresh runs) — repeated calls
-    with the same architecture and epoch count (ASHA rungs, sweep
-    benchmarks) hit the compile cache instead of re-tracing a per-call
-    closure (the same trap CLAUDE.md records for trainer._train_loop)."""
+    Keyed on (model, cfg, batch_size) plus the pytree structure of
+    ``init_state`` (None for fresh runs) — repeated calls with the same
+    architecture and epoch count (ASHA rungs, sweep benchmarks) hit the
+    compile cache instead of re-tracing a per-call closure (the same trap
+    CLAUDE.md records for trainer._train_loop).  ``epoch_offset`` is a
+    TRACED scalar (RNG fold_in + val_every modulus only), so ASHA rung
+    resumes at different global epochs share one executable per rung
+    length."""
     spec = (mean, std) if cfg.loss_space == "raw" else None
 
     def train_one(lr, wd, beta, cfg_rng, init):
