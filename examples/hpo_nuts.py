@@ -1,17 +1,24 @@
 """Hyperparameter search for the nut VAE (reference optim_bce_nuts.py):
 objective = test accuracy of the f-distance decision, ROC-AUC recorded per
 trial.  Uses Optuna TPE when installed (optim_bce_nuts.py:286-292),
-otherwise the built-in seeded random search.
+otherwise the built-in dependency-free TPE sampler
+(ocm_tpu.utils.tpe.tpe_search — same algorithm family as optuna's default
+sampler).
 
     python examples/hpo_nuts.py [--n-trials 20]
 
-``--asha`` instead runs the dependency-free ADAPTIVE search
+``--tpe`` runs the reference's FULL adaptive protocol without optuna:
+``ocm_tpu.utils.tpe.tpe_vae_search`` = TPESampler(seed) + per-epoch
+MedianPruner(n_warmup_steps) over the blocked trainer — the literal
+capability of optim_bce_nuts.py:197-199 + 286-292 (trial.report per epoch,
+prune when the best val loss so far is worse than the running median).
+
+``--asha`` instead runs the parallelism-oriented ADAPTIVE search
 (ocm_tpu.utils.sweep.asha_vae_search): successive halving kills the worst
-trials at rung boundaries (the reference's MedianPruner capability,
-optim_bce_nuts.py:197-199 + 286-292), survivors resume from their exact
-optimizer state, and arch-sharing survivors train as one vmapped program.
-Prints the epoch budget actually spent vs the n_trials * epochs a
-non-adaptive search would train.
+trials at rung boundaries, survivors resume from their exact optimizer
+state, and arch-sharing survivors train as one vmapped program.  Both
+adaptive modes print the epoch budget actually spent vs the
+n_trials * epochs a non-adaptive search would train.
 """
 
 from __future__ import annotations
@@ -28,7 +35,7 @@ import numpy as np
 
 
 def main(n_trials=10, target="peanut", epochs=25, seed=42,
-         out_dir="out/hpo_nuts", asha=False):
+         out_dir="out/hpo_nuts", asha=False, tpe=False):
     import jax.numpy as jnp
 
     from ocm_tpu.models import vae_decision as D
@@ -37,8 +44,7 @@ def main(n_trials=10, target="peanut", epochs=25, seed=42,
     from ocm_tpu.stats.metrics import roc_auc, vae_binary_metrics
     from ocm_tpu.utils.io import save_json
     from ocm_tpu.utils.splits import object_aware_splits
-    from ocm_tpu.utils.sweep import (asha_vae_search, random_search,
-                                     run_optuna_study)
+    from ocm_tpu.utils.sweep import asha_vae_search, run_optuna_study
 
     import _synthetic
 
@@ -47,6 +53,43 @@ def main(n_trials=10, target="peanut", epochs=25, seed=42,
     length = data[target][0].shape[1]
     res = object_aware_splits(data, nut_types, target, length, verbose=False)
     y_bin = res.y_test
+
+    if tpe:
+        from ocm_tpu.utils.tpe import tpe_vae_search
+
+        space = {"latent_dim": ("categorical", [8, 16, 32]),
+                 "lr": ("loguniform", 1e-4, 1e-2),
+                 "beta": ("loguniform", 1e-3, 4.0)}
+        base = {"conv_blocks": 3, "n_filters": 16, "hidden_fc": 64,
+                "batch_size": 64, "loss_type": "bce"}
+        out = tpe_vae_search(res.x_cal, res.x_val, space,
+                             n_trials=n_trials, max_epochs=epochs,
+                             seed=seed, base_config=base,
+                             n_warmup_steps=min(10, max(2, epochs // 5)))
+        cfg = out["best_config"]
+        model = ConvVAE1D(input_length=length,
+                          latent_dim=int(cfg["latent_dim"]), conv_blocks=3,
+                          n_filters=16, hidden_fc=64)
+        b = D.fit_thresholds(model, out["best_bundle"], res.x_cal,
+                             loss_type="bce")
+        dec = D.decide_f(model, b, jnp.asarray(res.x_test))
+        pred = np.where(np.asarray(dec.accept), 0, 1)
+        m = vae_binary_metrics(jnp.asarray(pred), jnp.asarray(y_bin), 2)
+        os.makedirs(out_dir, exist_ok=True)
+        save_json({"best_config": cfg, "best_val_loss": out["best_value"],
+                   "test_accuracy": float(m.accuracy),
+                   "total_epochs": out["total_epochs"],
+                   "n_pruned": out["n_pruned"],
+                   "full_fidelity_epochs": n_trials * epochs,
+                   "history": out["history"]},
+                  out_dir, "hpo_tpe.json")
+        print(f"[tpe] best val loss {out['best_value']:.5f} "
+              f"(test acc {float(m.accuracy):.4f}) with {cfg}; "
+              f"pruned {out['n_pruned']}/{n_trials} trials, trained "
+              f"{out['total_epochs']} epochs vs {n_trials * epochs} "
+              f"non-adaptive "
+              f"({out['total_epochs'] / (n_trials * epochs):.0%})")
+        return cfg, out["best_value"]
 
     if asha:
         space = {"latent_dim": ("categorical", [8, 16, 32]),
@@ -112,8 +155,10 @@ def main(n_trials=10, target="peanut", epochs=25, seed=42,
         history = [{"trial": t.number, "value": t.value,
                     "config": t.params} for t in study.trials]
     except ImportError:
-        best_cfg, best_val, history = random_search(objective, space,
-                                                    n_trials, seed=seed)
+        from ocm_tpu.utils.tpe import tpe_search
+        best_cfg, best_val, history = tpe_search(objective, space,
+                                                 n_trials, seed=seed,
+                                                 maximize=True)
 
     os.makedirs(out_dir, exist_ok=True)
     save_json({"best_config": best_cfg, "best_accuracy": best_val,
@@ -133,4 +178,8 @@ if __name__ == "__main__":
     p.add_argument("--asha", action="store_true",
                    help="adaptive successive-halving search instead of "
                         "random/TPE full-fidelity trials")
+    p.add_argument("--tpe", action="store_true",
+                   help="built-in TPE sampler + per-epoch median pruning "
+                        "(the reference's exact optuna protocol, "
+                        "dependency-free)")
     main(**vars(p.parse_args()))
