@@ -13,6 +13,11 @@ MedianPruner(n_warmup_steps) over the blocked trainer — the literal
 capability of optim_bce_nuts.py:197-199 + 286-292 (trial.report per epoch,
 prune when the best val loss so far is worse than the running median).
 
+``--bohb`` composes the two adaptive modes (BOHB-style,
+``ocm_tpu.utils.tpe.bohb_vae_search``): the TPE sampler draws each
+bracket's cohort, vmapped successive halving trains it, and every trial's
+outcome is told back to the sampler before the next bracket.
+
 ``--asha`` instead runs the parallelism-oriented ADAPTIVE search
 (ocm_tpu.utils.sweep.asha_vae_search): successive halving kills the worst
 trials at rung boundaries, survivors resume from their exact optimizer
@@ -35,7 +40,8 @@ import numpy as np
 
 
 def main(n_trials=10, target="peanut", epochs=25, seed=42,
-         out_dir="out/hpo_nuts", asha=False, tpe=False):
+         out_dir="out/hpo_nuts", asha=False, tpe=False, bohb=False,
+         brackets=3):
     import jax.numpy as jnp
 
     from ocm_tpu.models import vae_decision as D
@@ -53,6 +59,42 @@ def main(n_trials=10, target="peanut", epochs=25, seed=42,
     length = data[target][0].shape[1]
     res = object_aware_splits(data, nut_types, target, length, verbose=False)
     y_bin = res.y_test
+
+    if bohb:
+        from ocm_tpu.utils.tpe import bohb_vae_search
+
+        space = {"latent_dim": ("categorical", [8, 16, 32]),
+                 "lr": ("loguniform", 1e-4, 1e-2),
+                 "beta": ("loguniform", 1e-3, 4.0)}
+        base = {"conv_blocks": 3, "n_filters": 16, "hidden_fc": 64,
+                "batch_size": 64, "loss_type": "bce"}
+        out = bohb_vae_search(res.x_cal, res.x_val, space,
+                              n_brackets=brackets,
+                              trials_per_bracket=n_trials,
+                              max_epochs=epochs, reduction=3, seed=seed,
+                              base_config=base)
+        cfg = out["best_config"]
+        model = ConvVAE1D(input_length=length,
+                          latent_dim=int(cfg["latent_dim"]), conv_blocks=3,
+                          n_filters=16, hidden_fc=64)
+        b = D.fit_thresholds(model, out["best_bundle"], res.x_cal,
+                             loss_type="bce")
+        dec = D.decide_f(model, b, jnp.asarray(res.x_test))
+        pred = np.where(np.asarray(dec.accept), 0, 1)
+        m = vae_binary_metrics(jnp.asarray(pred), jnp.asarray(y_bin), 2)
+        os.makedirs(out_dir, exist_ok=True)
+        save_json({"best_config": cfg, "best_val_loss": out["best_value"],
+                   "test_accuracy": float(m.accuracy),
+                   "total_epochs": out["total_epochs"],
+                   "full_fidelity_epochs": brackets * n_trials * epochs,
+                   "history": out["history"]},
+                  out_dir, "hpo_bohb.json")
+        print(f"[bohb] best val loss {out['best_value']:.5f} "
+              f"(test acc {float(m.accuracy):.4f}) with {cfg}; "
+              f"trained {out['total_epochs']} epochs vs "
+              f"{brackets * n_trials * epochs} non-adaptive "
+              f"({out['total_epochs'] / (brackets * n_trials * epochs):.0%})")
+        return cfg, out["best_value"]
 
     if tpe:
         from ocm_tpu.utils.tpe import tpe_vae_search
@@ -182,4 +224,9 @@ if __name__ == "__main__":
                    help="built-in TPE sampler + per-epoch median pruning "
                         "(the reference's exact optuna protocol, "
                         "dependency-free)")
+    p.add_argument("--bohb", action="store_true",
+                   help="TPE-sampled brackets of vmapped successive "
+                        "halving (n_trials = trials per bracket)")
+    p.add_argument("--brackets", type=int, default=3,
+                   help="number of BOHB brackets")
     main(**vars(p.parse_args()))

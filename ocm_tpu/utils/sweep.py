@@ -323,6 +323,7 @@ def asha_vae_search(x_cal, x_val, space: Mapping = None, n_trials: int = 9,
                     max_epochs: int = 27, reduction: int = 3,
                     min_epochs: Optional[int] = None, seed: int = 42,
                     base_config: Optional[Mapping] = None,
+                    configs: Optional[Sequence[Mapping]] = None,
                     verbose: bool = True) -> dict:
     """Dependency-free adaptive HPO: successive halving (the synchronous
     core of ASHA) over the resident trainers.
@@ -343,10 +344,18 @@ def asha_vae_search(x_cal, x_val, space: Mapping = None, n_trials: int = 9,
     kernel_size, hidden_fc, dropout, activation, batch_size, loss_type,
     lr, weight_decay, beta.  Minimizes best validation loss.
 
+    ``configs`` (optional) bypasses sampling: an explicit sequence of
+    config dicts (each merged over ``base_config``) becomes the trial
+    cohort and ``n_trials``/``space`` sampling is ignored — the hook that
+    lets an outer sampler (e.g. ``utils.tpe.bohb_vae_search``) choose the
+    cohort while this function provides the vmapped halving schedule.
+
     Returns ``{"best_config", "best_value", "best_bundle", "history",
-    "total_epochs", "rungs"}``; ``total_epochs`` (sum of epochs actually
-    trained) is the budget to compare against ``n_trials * max_epochs``
-    for non-adaptive search.
+    "total_epochs", "rungs", "trials"}``; ``total_epochs`` (sum of epochs
+    actually trained) is the budget to compare against
+    ``n_trials * max_epochs`` for non-adaptive search; ``trials`` is the
+    per-trial summary ``[{"id", "config", "best_val", "epochs"}, ...]``
+    (killed trials included, at the budget they reached).
     """
     import math
 
@@ -364,8 +373,14 @@ def asha_vae_search(x_cal, x_val, space: Mapping = None, n_trials: int = 9,
     host_rng = np.random.default_rng(seed)
     master = jax.random.key(seed)
     base_config = dict(base_config or {})
-    trials = [{"id": t,
-               "config": {**base_config, **sample_config(space, host_rng)},
+    if configs is not None:
+        if not configs:
+            raise ValueError("configs must be a non-empty sequence")
+        n_trials = len(configs)
+        sampled = [dict(c) for c in configs]
+    else:
+        sampled = [sample_config(space, host_rng) for _ in range(n_trials)]
+    trials = [{"id": t, "config": {**base_config, **sampled[t]},
                "best_val": np.inf, "bundle": None, "state": None,
                "epochs": 0}
               for t in range(n_trials)]
@@ -465,7 +480,10 @@ def asha_vae_search(x_cal, x_val, space: Mapping = None, n_trials: int = 9,
     return {"best_config": dict(best["config"]),
             "best_value": best["best_val"],
             "best_bundle": best["bundle"], "history": history,
-            "total_epochs": total_epochs, "rungs": rungs}
+            "total_epochs": total_epochs, "rungs": rungs,
+            "trials": [{"id": tr["id"], "config": dict(tr["config"]),
+                        "best_val": tr["best_val"], "epochs": tr["epochs"]}
+                       for tr in sorted(trials, key=lambda tr: tr["id"])]}
 
 
 def pruning_report(trial) -> Callable:

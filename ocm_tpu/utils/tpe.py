@@ -28,6 +28,9 @@ same two capabilities from scratch:
   to ``sweep.asha_vae_search`` (which spends parallelism instead of
   sample-efficiency); both exist because the reference's TPE+MedianPruner
   sits between the two.
+- :func:`bohb_vae_search` — the composition (BOHB-style): TPE samples each
+  bracket's cohort, vmapped successive halving trains it.  The TPU-native
+  scheduler: adaptive sampling AND MXU-batched rungs.
 """
 
 from __future__ import annotations
@@ -37,7 +40,8 @@ from typing import Callable, Mapping, Optional
 
 import numpy as np
 
-__all__ = ["TPESampler", "MedianPruner", "tpe_search", "tpe_vae_search"]
+__all__ = ["TPESampler", "MedianPruner", "tpe_search", "tpe_vae_search",
+           "bohb_vae_search"]
 
 
 # ---------------------------------------------------------------------------
@@ -360,3 +364,79 @@ def tpe_vae_search(x_cal, x_val, space: Optional[Mapping] = None,
     return {"best_config": best["config"], "best_value": best["value"],
             "best_bundle": best["bundle"], "history": history,
             "total_epochs": total_epochs, "n_pruned": n_pruned}
+
+
+def bohb_vae_search(x_cal, x_val, space: Optional[Mapping] = None,
+                    n_brackets: int = 3, trials_per_bracket: int = 9,
+                    max_epochs: int = 27, reduction: int = 3,
+                    seed: int = 42, base_config: Optional[Mapping] = None,
+                    verbose: bool = True) -> dict:
+    """BOHB-style HPO (Falkner et al. 2018's combination, simplified):
+    TPE sampling ACROSS brackets, vmapped successive halving WITHIN each.
+
+    The two adaptive schedulers in this framework compose: each bracket's
+    cohort of ``trials_per_bracket`` configs is drawn from the
+    :class:`TPESampler` (bracket 0 is the random warm-up), then trained by
+    ``sweep.asha_vae_search`` — whose rungs batch same-architecture
+    survivors into ONE vmapped program on the MXU.  After a bracket, every
+    trial's best validation loss (at whatever epoch budget halving granted
+    it) is told back to the sampler, so later brackets concentrate where
+    earlier brackets found good configs.  Telling values from mixed
+    budgets is the standard practical shortcut (optuna's pruned-TPE does
+    the same); the full BOHB algorithm fits one model per budget.
+
+    This is the TPU-native point between the reference's sequential
+    TPE+MedianPruner (``tpe_vae_search`` — maximum sample-efficiency, no
+    parallelism) and plain ASHA (maximum parallelism, random sampling).
+
+    Returns ``{"best_config", "best_value", "best_bundle", "history",
+    "total_epochs"}``; ``history`` is one entry per bracket with the
+    per-trial summaries from the inner halving.
+    """
+    from ocm_tpu.utils.sweep import (SEARCH_SPACE_DEFAULT, asha_vae_search,
+                                     sample_config)
+
+    if n_brackets < 1 or trials_per_bracket < 1:
+        raise ValueError("n_brackets and trials_per_bracket must be >= 1")
+    if space is None:
+        space = SEARCH_SPACE_DEFAULT
+    sampler = TPESampler(space, seed=seed, maximize=False,
+                         n_startup_trials=trials_per_bracket)
+    best = {"config": None, "value": np.inf, "bundle": None}
+    history = []
+    total_epochs = 0
+    for b in range(n_brackets):
+        cohort, seen = [], set()
+        for _ in range(trials_per_bracket):
+            cfg = sampler.suggest()
+            key = tuple(sorted(cfg.items()))
+            if key in seen:        # consecutive suggests share the density
+                cfg = sample_config(space, sampler.rng)
+            seen.add(tuple(sorted(cfg.items())))
+            cohort.append(cfg)
+        out = asha_vae_search(x_cal, x_val, space,
+                              max_epochs=max_epochs, reduction=reduction,
+                              seed=seed + b, base_config=base_config,
+                              configs=cohort, verbose=verbose)
+        for tr in out["trials"]:
+            sampler.tell(tr["config"], tr["best_val"])
+        total_epochs += out["total_epochs"]
+        history.append({"bracket": b, "trials": out["trials"],
+                        "rungs": out["rungs"],
+                        "best_value": out["best_value"]})
+        if np.isfinite(out["best_value"]) and out["best_value"] < best["value"]:
+            best = {"config": out["best_config"],
+                    "value": out["best_value"],
+                    "bundle": out["best_bundle"]}
+        if verbose:
+            print(f"[bohb] bracket {b}: best={out['best_value']:.5f} "
+                  f"(incumbent {best['value']:.5f}), "
+                  f"epochs so far {total_epochs}")
+    if best["bundle"] is None:
+        raise RuntimeError(
+            "bohb_vae_search: no bracket produced a finite validation "
+            "loss — widen/lower the lr range or check loss_type vs the "
+            "data scale")
+    return {"best_config": best["config"], "best_value": best["value"],
+            "best_bundle": best["bundle"], "history": history,
+            "total_epochs": total_epochs}

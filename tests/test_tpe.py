@@ -10,9 +10,9 @@ analytic objectives, never the reference code.
 import numpy as np
 import pytest
 
-from ocm_tpu.utils.sweep import random_search
-from ocm_tpu.utils.tpe import (MedianPruner, TPESampler, tpe_search,
-                               tpe_vae_search)
+from ocm_tpu.utils.sweep import asha_vae_search, random_search
+from ocm_tpu.utils.tpe import (MedianPruner, TPESampler, bohb_vae_search,
+                               tpe_search, tpe_vae_search)
 
 # ---------------------------------------------------------------------------
 # MedianPruner semantics
@@ -192,6 +192,78 @@ def test_tpe_vae_search_end_to_end(synthetic_spectra):
     for h in out["history"]:
         if h["pruned"]:
             assert h["epochs"] < 4
+
+
+def test_bohb_vae_search_end_to_end(synthetic_spectra):
+    x_cal, x_val = synthetic_spectra
+    space = {"lr": ("loguniform", 1e-4, 1e-2),
+             "beta": ("loguniform", 1e-3, 1.0)}
+    base = {"latent_dim": 4, "conv_blocks": 1, "n_filters": 4,
+            "kernel_size": 5, "hidden_fc": 16, "batch_size": 16,
+            "loss_type": "euclidean"}
+    out = bohb_vae_search(x_cal, x_val, space=space, n_brackets=2,
+                          trials_per_bracket=4, max_epochs=4, reduction=2,
+                          seed=0, base_config=base, verbose=False)
+    assert out["best_bundle"] is not None
+    assert np.isfinite(out["best_value"])
+    assert len(out["history"]) == 2
+    # halving within brackets: budget strictly below full fidelity
+    assert out["total_epochs"] < 2 * 4 * 4
+    for h in out["history"]:
+        assert len(h["trials"]) == 4
+        for tr in h["trials"]:
+            assert set(base) <= set(tr["config"])
+            assert 1 <= tr["epochs"] <= 4
+    # bracket 1's cohort came from a sampler that observed bracket 0:
+    # its best can't be worse than simply re-running random configs is
+    # guaranteed nothing — but the incumbent must be the min over brackets
+    assert out["best_value"] == min(h["best_value"] for h in out["history"])
+    with pytest.raises(ValueError, match="n_brackets"):
+        bohb_vae_search(x_cal, x_val, space=space, n_brackets=0)
+
+
+def test_bohb_samples_second_bracket_adaptively(synthetic_spectra, monkeypatch):
+    """The sampler must be TOLD every bracket-0 trial before bracket 1 is
+    drawn (the BOHB loop's defining property)."""
+    x_cal, x_val = synthetic_spectra
+    space = {"lr": ("loguniform", 1e-4, 1e-2)}
+    base = {"latent_dim": 4, "conv_blocks": 1, "n_filters": 4,
+            "kernel_size": 5, "hidden_fc": 16, "batch_size": 16,
+            "loss_type": "euclidean"}
+    observed_at_suggest = []
+    orig = TPESampler.suggest
+
+    def spy(self):
+        observed_at_suggest.append(len(self._values))
+        return orig(self)
+
+    monkeypatch.setattr(TPESampler, "suggest", spy)
+    bohb_vae_search(x_cal, x_val, space=space, n_brackets=2,
+                    trials_per_bracket=3, max_epochs=2, reduction=2,
+                    seed=0, base_config=base, verbose=False)
+    # bracket 0 suggests saw 0 observations; bracket 1 suggests saw all 3
+    assert observed_at_suggest[:3] == [0, 0, 0]
+    assert all(n == 3 for n in observed_at_suggest[3:6])
+
+
+def test_asha_explicit_configs_cohort(synthetic_spectra):
+    """asha_vae_search(configs=...) trains exactly the given cohort and
+    reports a per-trial summary aligned with it."""
+    x_cal, x_val = synthetic_spectra
+    base = {"latent_dim": 4, "conv_blocks": 1, "n_filters": 4,
+            "kernel_size": 5, "hidden_fc": 16, "batch_size": 16,
+            "loss_type": "euclidean"}
+    cohort = [{"lr": 1e-3}, {"lr": 3e-3}, {"lr": 1e-2}]
+    out = asha_vae_search(x_cal, x_val, None, n_trials=99,  # ignored
+                          max_epochs=4, reduction=2, seed=0,
+                          base_config=base, configs=cohort, verbose=False)
+    assert len(out["trials"]) == 3
+    for tr, cfg in zip(out["trials"], cohort):
+        assert tr["config"]["lr"] == cfg["lr"]
+        assert np.isfinite(tr["best_val"]) or tr["best_val"] == np.inf
+    assert out["best_config"]["lr"] in [c["lr"] for c in cohort]
+    with pytest.raises(ValueError, match="non-empty"):
+        asha_vae_search(x_cal, x_val, None, base_config=base, configs=[])
 
 
 @pytest.fixture(scope="module")
