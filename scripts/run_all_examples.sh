@@ -26,6 +26,9 @@ run nut_data_prep --out-path $OUT/nuts.h5
 run vae_simca_cheese --epochs 8 --latent-dim 6 --conv-blocks 2 --n-filters 8 --hidden-fc 32 --out-dir $OUT/vsc
 run vae_nuts --epochs 6 --latent-dim 6 --out-dir $OUT/vn
 run hpo_nuts --n-trials 2 --epochs 4 --out-dir $OUT/hpo
+run hpo_nuts --tpe --n-trials 2 --epochs 4 --out-dir $OUT/hpo_tpe
+run hpo_nuts --bohb --brackets 1 --n-trials 2 --epochs 4 --out-dir $OUT/hpo_bohb
+run full_pipeline --quick --lv-max 4 --out-dir $OUT/pipeline
 run cheese_eda_plsda --max-components 8 --out-dir $OUT/plsda
 run sweep_vae --mode vmapped --epochs 5
 run sweep_vae --mode runner --epochs 3 --out-dir $OUT/sw
