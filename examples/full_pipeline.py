@@ -79,14 +79,16 @@ def stage_classical(data, res, prep, nut_types, target, lv_max, out_dir):
     from ocm_tpu.serving import SIMCAScorer
     from ocm_tpu.stats.metrics import conformity_metrics
 
-    # per-class calibration spectra (preprocessed) for the batched fit
+    # per-class calibration spectra (preprocessed) for the batched fit;
+    # the target class's split was already computed by stage_splits
     from ocm_tpu.utils.splits import object_aware_splits
     length = res.x_cal.shape[1]
     cal_x, cal_y = [], []
     for ci, cls in enumerate(nut_types):
-        r = object_aware_splits(data, nut_types, cls, length, verbose=False)
-        cal_x.append(prep(r.x_cal))
-        cal_y.append(np.full(r.x_cal.shape[0], ci, dtype=int))
+        xc = res.x_cal if cls == target else object_aware_splits(
+            data, nut_types, cls, length, verbose=False).x_cal
+        cal_x.append(prep(xc))
+        cal_y.append(np.full(xc.shape[0], ci, dtype=int))
     x_all = np.concatenate(cal_x)
     y_all = np.concatenate(cal_y)
 

@@ -60,19 +60,37 @@ def main(n_trials=10, target="peanut", epochs=25, seed=42,
     res = object_aware_splits(data, nut_types, target, length, verbose=False)
     y_bin = res.y_test
 
-    if bohb:
-        from ocm_tpu.utils.tpe import bohb_vae_search
-
+    if bohb or tpe or asha:
+        # one evaluation epilogue for all three adaptive modes: rebuild the
+        # winner, fit thresholds, score the test set, persist + print
         space = {"latent_dim": ("categorical", [8, 16, 32]),
                  "lr": ("loguniform", 1e-4, 1e-2),
                  "beta": ("loguniform", 1e-3, 4.0)}
         base = {"conv_blocks": 3, "n_filters": 16, "hidden_fc": 64,
                 "batch_size": 64, "loss_type": "bce"}
-        out = bohb_vae_search(res.x_cal, res.x_val, space,
-                              n_brackets=brackets,
-                              trials_per_bracket=n_trials,
-                              max_epochs=epochs, reduction=3, seed=seed,
-                              base_config=base)
+        if bohb:
+            from ocm_tpu.utils.tpe import bohb_vae_search
+            tag, budget, extra = "bohb", brackets * n_trials * epochs, {}
+            out = bohb_vae_search(res.x_cal, res.x_val, space,
+                                  n_brackets=brackets,
+                                  trials_per_bracket=n_trials,
+                                  max_epochs=epochs, reduction=3,
+                                  seed=seed, base_config=base)
+        elif tpe:
+            from ocm_tpu.utils.tpe import tpe_vae_search
+            tag, budget = "tpe", n_trials * epochs
+            out = tpe_vae_search(res.x_cal, res.x_val, space,
+                                 n_trials=n_trials, max_epochs=epochs,
+                                 seed=seed, base_config=base,
+                                 n_warmup_steps=min(10, max(2,
+                                                            epochs // 5)))
+            extra = {"n_pruned": out["n_pruned"]}
+        else:
+            tag, budget = "asha", n_trials * epochs
+            out = asha_vae_search(res.x_cal, res.x_val, space,
+                                  n_trials=n_trials, max_epochs=epochs,
+                                  reduction=3, seed=seed, base_config=base)
+            extra = {"rungs": out["rungs"]}
         cfg = out["best_config"]
         model = ConvVAE1D(input_length=length,
                           latent_dim=int(cfg["latent_dim"]), conv_blocks=3,
@@ -86,83 +104,14 @@ def main(n_trials=10, target="peanut", epochs=25, seed=42,
         save_json({"best_config": cfg, "best_val_loss": out["best_value"],
                    "test_accuracy": float(m.accuracy),
                    "total_epochs": out["total_epochs"],
-                   "full_fidelity_epochs": brackets * n_trials * epochs,
-                   "history": out["history"]},
-                  out_dir, "hpo_bohb.json")
-        print(f"[bohb] best val loss {out['best_value']:.5f} "
+                   "full_fidelity_epochs": budget,
+                   **extra, "history": out["history"]},
+                  out_dir, f"hpo_{tag}.json")
+        print(f"[{tag}] best val loss {out['best_value']:.5f} "
               f"(test acc {float(m.accuracy):.4f}) with {cfg}; "
-              f"trained {out['total_epochs']} epochs vs "
-              f"{brackets * n_trials * epochs} non-adaptive "
-              f"({out['total_epochs'] / (brackets * n_trials * epochs):.0%})")
-        return cfg, out["best_value"]
-
-    if tpe:
-        from ocm_tpu.utils.tpe import tpe_vae_search
-
-        space = {"latent_dim": ("categorical", [8, 16, 32]),
-                 "lr": ("loguniform", 1e-4, 1e-2),
-                 "beta": ("loguniform", 1e-3, 4.0)}
-        base = {"conv_blocks": 3, "n_filters": 16, "hidden_fc": 64,
-                "batch_size": 64, "loss_type": "bce"}
-        out = tpe_vae_search(res.x_cal, res.x_val, space,
-                             n_trials=n_trials, max_epochs=epochs,
-                             seed=seed, base_config=base,
-                             n_warmup_steps=min(10, max(2, epochs // 5)))
-        cfg = out["best_config"]
-        model = ConvVAE1D(input_length=length,
-                          latent_dim=int(cfg["latent_dim"]), conv_blocks=3,
-                          n_filters=16, hidden_fc=64)
-        b = D.fit_thresholds(model, out["best_bundle"], res.x_cal,
-                             loss_type="bce")
-        dec = D.decide_f(model, b, jnp.asarray(res.x_test))
-        pred = np.where(np.asarray(dec.accept), 0, 1)
-        m = vae_binary_metrics(jnp.asarray(pred), jnp.asarray(y_bin), 2)
-        os.makedirs(out_dir, exist_ok=True)
-        save_json({"best_config": cfg, "best_val_loss": out["best_value"],
-                   "test_accuracy": float(m.accuracy),
-                   "total_epochs": out["total_epochs"],
-                   "n_pruned": out["n_pruned"],
-                   "full_fidelity_epochs": n_trials * epochs,
-                   "history": out["history"]},
-                  out_dir, "hpo_tpe.json")
-        print(f"[tpe] best val loss {out['best_value']:.5f} "
-              f"(test acc {float(m.accuracy):.4f}) with {cfg}; "
-              f"pruned {out['n_pruned']}/{n_trials} trials, trained "
-              f"{out['total_epochs']} epochs vs {n_trials * epochs} "
+              f"trained {out['total_epochs']} epochs vs {budget} "
               f"non-adaptive "
-              f"({out['total_epochs'] / (n_trials * epochs):.0%})")
-        return cfg, out["best_value"]
-
-    if asha:
-        space = {"latent_dim": ("categorical", [8, 16, 32]),
-                 "lr": ("loguniform", 1e-4, 1e-2),
-                 "beta": ("loguniform", 1e-3, 4.0)}
-        base = {"conv_blocks": 3, "n_filters": 16, "hidden_fc": 64,
-                "batch_size": 64, "loss_type": "bce"}
-        out = asha_vae_search(res.x_cal, res.x_val, space,
-                              n_trials=n_trials, max_epochs=epochs,
-                              reduction=3, seed=seed, base_config=base)
-        cfg = out["best_config"]
-        model = ConvVAE1D(input_length=length,
-                          latent_dim=int(cfg["latent_dim"]), conv_blocks=3,
-                          n_filters=16, hidden_fc=64)
-        b = D.fit_thresholds(model, out["best_bundle"], res.x_cal,
-                             loss_type="bce")
-        dec = D.decide_f(model, b, jnp.asarray(res.x_test))
-        pred = np.where(np.asarray(dec.accept), 0, 1)
-        m = vae_binary_metrics(jnp.asarray(pred), jnp.asarray(y_bin), 2)
-        os.makedirs(out_dir, exist_ok=True)
-        save_json({"best_config": cfg, "best_val_loss": out["best_value"],
-                   "test_accuracy": float(m.accuracy),
-                   "total_epochs": out["total_epochs"],
-                   "full_fidelity_epochs": n_trials * epochs,
-                   "rungs": out["rungs"], "history": out["history"]},
-                  out_dir, "hpo_asha.json")
-        print(f"[asha] best val loss {out['best_value']:.5f} "
-              f"(test acc {float(m.accuracy):.4f}) with {cfg}; "
-              f"trained {out['total_epochs']} epochs vs "
-              f"{n_trials * epochs} non-adaptive "
-              f"({out['total_epochs'] / (n_trials * epochs):.0%})")
+              f"({out['total_epochs'] / budget:.0%})")
         return cfg, out["best_value"]
 
     space = {

@@ -291,7 +291,9 @@ def train_vae_blocked(model: ConvVAE1D, x_cal, x_val, cfg: TrainConfig,
         # checkpoint instead, so TrainResult.bundle is always the best
         # OBSERVED epoch and never None once any epoch was reported.
         if seen and np.isfinite(vl[:seen]).any():
-            prefix_best = int(np.argmin(vl[:seen]))
+            # nanargmin: plain argmin returns the index of a NaN, so a
+            # block whose tail diverged would never adopt its finite best
+            prefix_best = int(np.nanargmin(vl[:seen]))
             if float(vl[prefix_best]) < best_val:
                 best_val = float(vl[prefix_best])
                 best_epoch = done + prefix_best

@@ -343,12 +343,22 @@ def tpe_vae_search(x_cal, x_val, space: Optional[Mapping] = None,
         epochs_run = int(np.asarray(res.val_losses).shape[0])
         pruned = epochs_run < max_epochs
         n_pruned += int(pruned)
-        total_epochs += epochs_run
+        # epochs ACTUALLY trained on device: a mid-block prune stops the
+        # host loop, but the dispatched block had already run to its
+        # boundary — count to the block edge, not the reported prefix
+        epochs_device = min(max_epochs, -(-epochs_run // block_epochs)
+                            * block_epochs)
+        total_epochs += epochs_device
         vls = np.asarray(res.val_losses)
-        value = float(np.min(vls)) if np.isfinite(vls).any() else np.inf
+        # nanmin over the finite prefix: a trial whose LAST epoch diverged
+        # still scores by its best finite loss (train_vae_blocked's bundle
+        # is that best finite epoch), instead of NaN poisoning the score
+        finite = vls[np.isfinite(vls)]
+        value = float(finite.min()) if finite.size else np.inf
         sampler.tell(cfg, value)
         history.append({"trial": t, "config": cfg, "value": value,
-                        "epochs": epochs_run, "pruned": pruned})
+                        "epochs": epochs_run,
+                        "epochs_device": epochs_device, "pruned": pruned})
         if np.isfinite(value) and value < best["value"] \
                 and res.bundle is not None:
             best = {"config": dict(cfg), "value": value,
@@ -409,8 +419,13 @@ def bohb_vae_search(x_cal, x_val, space: Optional[Mapping] = None,
         cohort, seen = [], set()
         for _ in range(trials_per_bracket):
             cfg = sampler.suggest()
-            key = tuple(sorted(cfg.items()))
-            if key in seen:        # consecutive suggests share the density
+            # consecutive suggests share one density and can collide;
+            # resample randomly until unseen (bounded — a small all-
+            # categorical space may have fewer configs than the cohort)
+            for _retry in range(16):
+                key = tuple(sorted(cfg.items()))
+                if key not in seen:
+                    break
                 cfg = sample_config(space, sampler.rng)
             seen.add(tuple(sorted(cfg.items())))
             cohort.append(cfg)
