@@ -266,6 +266,100 @@ def test_asha_explicit_configs_cohort(synthetic_spectra):
         asha_vae_search(x_cal, x_val, None, base_config=base, configs=[])
 
 
+# ---------------------------------------------------------------------------
+# NaN / accounting regressions (deterministic fakes — forcing a real VAE to
+# diverge at a chosen epoch is seed-fragile)
+# ---------------------------------------------------------------------------
+
+
+def _fake_blocked(val_losses_by_call):
+    """train_vae_blocked stand-in returning scripted trajectories."""
+    import jax.numpy as jnp
+
+    from ocm_tpu.models.trainer import TrainResult
+
+    calls = {"n": 0}
+
+    def fake(model, x_cal, x_val, cfg, rng, block_epochs=10, report=None,
+             spec_stats=None):
+        vls = np.asarray(val_losses_by_call[calls["n"]
+                                            % len(val_losses_by_call)],
+                         dtype=np.float64)
+        calls["n"] += 1
+        bundle = ("bundle", calls["n"])
+        return TrainResult(bundle, jnp.asarray(vls), jnp.asarray(vls),
+                           jnp.asarray(int(np.nanargmin(vls))),
+                           None, None, None)
+
+    return fake
+
+
+def test_tpe_scores_partially_diverged_trial_by_best_finite(monkeypatch):
+    """A trajectory whose TAIL is NaN must score by its best finite loss
+    (np.min would return NaN, locking the trial out of the incumbent)."""
+    import ocm_tpu.models.trainer as trainer_mod
+
+    monkeypatch.setattr(trainer_mod, "train_vae_blocked",
+                        _fake_blocked([[0.45, 0.40, np.nan]]))
+    out = tpe_vae_search(np.zeros((8, 32), np.float32),
+                         np.zeros((4, 32), np.float32),
+                         space={"lr": ("loguniform", 1e-4, 1e-2)},
+                         n_trials=2, max_epochs=3, seed=0, verbose=False)
+    assert out["best_value"] == pytest.approx(0.40)
+    assert out["best_bundle"] is not None
+    for h in out["history"]:
+        assert h["value"] == pytest.approx(0.40)   # never NaN
+
+
+def test_tpe_epoch_accounting_counts_to_block_boundary(monkeypatch):
+    """A mid-block prune stops reporting, but the dispatched block trained
+    to its boundary — total_epochs must count the device budget."""
+    import ocm_tpu.models.trainer as trainer_mod
+
+    # scripted single reported epoch (as if pruned at epoch 0 of a block)
+    monkeypatch.setattr(trainer_mod, "train_vae_blocked",
+                        _fake_blocked([[0.5]]))
+    out = tpe_vae_search(np.zeros((8, 32), np.float32),
+                         np.zeros((4, 32), np.float32),
+                         space={"lr": ("loguniform", 1e-4, 1e-2)},
+                         n_trials=2, max_epochs=8, block_epochs=4,
+                         seed=0, verbose=False)
+    for h in out["history"]:
+        assert h["epochs"] == 1                 # reported prefix
+        assert h["epochs_device"] == 4          # block boundary
+        assert h["pruned"]
+    assert out["total_epochs"] == 8             # 2 trials x one 4-ep block
+
+
+def test_blocked_trainer_adopts_finite_best_despite_nan_tail(monkeypatch):
+    """Regression: np.argmin over a val prefix containing NaN returned the
+    NaN's index, so the finite best epoch's checkpoint was never adopted
+    and TrainResult.bundle came back None."""
+    import jax
+    import jax.numpy as jnp
+
+    import ocm_tpu.models.trainer as trainer_mod
+    from ocm_tpu.models.trainer import (TrainConfig, TrainResult,
+                                        train_vae_blocked)
+
+    def fake_train_vae(model, x_cal, x_val, cfg, rng, spec_stats=None,
+                       init_state=None, epoch_offset=0):
+        vls = jnp.asarray([0.4, jnp.nan][:cfg.epochs])
+        # the in-scan best tracker skips NaN (NaN < best is False), so the
+        # genuine train_vae would report best_epoch 0 here
+        return TrainResult(("best@", epoch_offset), vls, vls,
+                           jnp.asarray(0), None, None, None)
+
+    monkeypatch.setattr(trainer_mod, "train_vae", fake_train_vae)
+    r = train_vae_blocked(object(), np.zeros((8, 32), np.float32),
+                          np.zeros((4, 32), np.float32),
+                          TrainConfig(epochs=2), jax.random.key(0),
+                          block_epochs=2,
+                          spec_stats=(np.zeros(32), np.ones(32)))
+    assert r.bundle == ("best@", 0)
+    assert int(r.best_epoch) == 0
+
+
 @pytest.fixture(scope="module")
 def synthetic_spectra():
     rng = np.random.default_rng(0)
