@@ -1,0 +1,137 @@
+"""Mesh-sharded HPO config sweeps: the vmapped config-batch trainer
+(utils.sweep.train_vae_vmapped) with its CONFIG axis placed on the device
+mesh — distinct hyperparameter configs train on distinct chips.
+
+The reference runs its 96-config sweeps and Optuna studies strictly
+sequentially on one device (VAE_SIMCA.py:436-470, optim_bce_nuts.py:295).
+This framework first batches the config axis with vmap (one compile, MXU
+filled — utils.sweep), and here scales it over the mesh: the SAME
+``utils.sweep.vmapped_train_body`` runs under a jit whose config-axis
+inputs/outputs carry a ``P(model_axis)`` sharding, so XLA partitions the
+embarrassingly-parallel config axis across chips (SURVEY.md §5.8's
+'model' axis) with zero collectives in the epoch loop — per-config
+training is independent; nothing rides ICI but the initial broadcast of
+the replicated spectra.
+
+Config count auto-pads to the mesh size by cyclic repetition (the same
+idiom as the fold/model-unit padding in parallel.simca_dist); padded
+configs train real trajectories but are dropped from every output.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ocm_tpu.models.bundle import new_bundle, spectral_stats
+from ocm_tpu.models.trainer import TrainConfig, TrainResult
+from ocm_tpu.utils.sweep import vmapped_train_body
+
+__all__ = ["train_vae_vmapped_sharded"]
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_sweep_jit(model, cfg: TrainConfig, batch_size: int,
+                       mesh: Mesh, model_axis: str):
+    """One compiled sharded sweep per (architecture, train config, batch,
+    mesh) — module-level cache so repeated sweeps reuse the executable
+    (the closure-jit retrace trap, CLAUDE.md design rules).
+
+    shard_map rather than jit-with-shardings: each device runs the plain
+    vmapped body over ITS config slice.  (GSPMD cannot partition the
+    config axis here — under vmap the ConvVAE1D convs lower to
+    feature-group convolutions whose group dimension the partitioner
+    refuses to split.)  Per-config training is independent, so the body
+    needs no collectives at all."""
+    from jax import shard_map
+
+    def body(epoch_offset, xc_std, xv_std, mean, std, lrs, weight_decays,
+             betas, cfg_rngs):
+        return vmapped_train_body(model, cfg, batch_size, epoch_offset,
+                                  xc_std, xv_std, mean, std, lrs,
+                                  weight_decays, betas, cfg_rngs, None)
+
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(),) * 5 + (P(model_axis),) * 4,
+        out_specs=P(model_axis), check_vma=False))
+
+
+def train_vae_vmapped_sharded(model, x_cal, x_val, lrs, weight_decays,
+                              betas, mesh: Mesh, *, epochs: int,
+                              batch_size: int, loss_type: str,
+                              rng: jax.Array = None, cfg_rngs=None,
+                              spec_stats=None, loss_space: str = "std",
+                              val_every: int = 1,
+                              model_axis: str = "model") -> TrainResult:
+    """``utils.sweep.train_vae_vmapped`` with the config axis sharded.
+
+    Same contract: config i runs the trajectory of
+    ``train_vae(..., TrainConfig(lr=lrs[i], ...), rng=split(rng, n)[i])``;
+    the returned TrainResult's leaves carry a leading config axis of
+    length ``len(lrs)``.  Configs auto-pad to a multiple of the mesh's
+    ``model_axis`` size (padded trajectories are computed and dropped).
+
+    Numerics: each shard vmaps a NARROWER config slice than the local
+    full-width vmap, so f32 reductions reassociate and Adam amplifies
+    the ulp-level gradient differences to lr scale over epochs — the
+    same fp contract documented for ``train_vae_vmapped`` vs the
+    sequential trainer.  Trajectories TRACK the local vmapped run
+    (tests/test_parallel.py: ~1e-2 after 3 Adam epochs, ~1e-3 on the
+    first); per-config results are equivalent fp schedules of the same
+    computation, not bitwise copies.
+    Fresh runs only (``init_state`` resume stays on the single-chip path —
+    rung-based HPO re-enters with the kept configs' states stacked, which
+    would need a gather across the kill pattern here).
+    """
+    lrs = np.asarray(lrs, np.float32)
+    weight_decays = np.asarray(weight_decays, np.float32)
+    betas = np.asarray(betas, np.float32)
+    n_cfg = lrs.shape[0]
+    if weight_decays.shape[0] != n_cfg or betas.shape[0] != n_cfg:
+        raise ValueError("lrs/weight_decays/betas must share their length")
+
+    x_cal = jnp.asarray(x_cal)
+    x_val = jnp.asarray(x_val)
+    if spec_stats is None:
+        mean, std = spectral_stats(np.asarray(x_cal))
+    else:
+        mean, std = spec_stats
+    mean = jnp.asarray(mean, x_cal.dtype)
+    std = jnp.asarray(std, x_cal.dtype)
+    xc_std = (x_cal - mean) / std
+    xv_std = (x_val - mean) / std
+    bs = min(batch_size, int(x_cal.shape[0]))
+    cfg = TrainConfig(epochs=epochs, batch_size=bs, loss_type=loss_type,
+                      val_every=val_every, loss_space=loss_space)
+
+    if cfg_rngs is None:
+        if rng is None:
+            raise ValueError("pass rng or cfg_rngs")
+        cfg_rngs = jax.random.split(rng, n_cfg)
+
+    # cyclic config padding to the mesh size (same idiom as the fold/unit
+    # padding in parallel.simca_dist); padded rows are dropped below
+    n_chips = mesh.shape[model_axis]
+    pad = (-n_cfg) % n_chips
+    if pad:
+        reps = np.arange(pad) % n_cfg
+        lrs = np.concatenate([lrs, lrs[reps]])
+        weight_decays = np.concatenate([weight_decays, weight_decays[reps]])
+        betas = np.concatenate([betas, betas[reps]])
+        cfg_rngs = jnp.concatenate([cfg_rngs, cfg_rngs[reps]])
+
+    run = _sharded_sweep_jit(model, cfg, bs, mesh, model_axis)
+    out = run(0, xc_std, xv_std, mean, std, jnp.asarray(lrs),
+              jnp.asarray(weight_decays), jnp.asarray(betas), cfg_rngs)
+    if pad:
+        out = jax.tree.map(lambda a: a[:n_cfg], out)
+    (f_params, f_bs, f_opt, best_params, best_bs, best_ep, tl, vls) = out
+    bundles = jax.vmap(
+        lambda p, b: new_bundle(p, b, mean, std, model.latent_dim)
+    )(best_params, best_bs)
+    return TrainResult(bundles, tl, vls, best_ep, f_params, f_bs, f_opt)

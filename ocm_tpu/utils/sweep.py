@@ -154,12 +154,12 @@ def traced_adam(lr, weight_decay):
                        optax.scale(-lr))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("model", "cfg", "batch_size"))
-def _vmapped_train_loop(model: ConvVAE1D, cfg: TrainConfig, batch_size: int,
-                        epoch_offset, xc_std, xv_std, mean, std,
-                        lrs, weight_decays, betas, cfg_rngs, init_state):
-    """The vmapped config-batch epoch loop as ONE module-level cached jit.
+def vmapped_train_body(model: ConvVAE1D, cfg: TrainConfig, batch_size: int,
+                       epoch_offset, xc_std, xv_std, mean, std,
+                       lrs, weight_decays, betas, cfg_rngs, init_state):
+    """The vmapped config-batch epoch loop (unjitted body — jitted below as
+    ``_vmapped_train_loop``; ``parallel.sweep_dist`` shard_maps this same
+    body over the config axis of a device mesh).
 
     Keyed on (model, cfg, batch_size) plus the pytree structure of
     ``init_state`` (None for fresh runs) — repeated calls with the same
@@ -190,6 +190,11 @@ def _vmapped_train_loop(model: ConvVAE1D, cfg: TrainConfig, batch_size: int,
                         )(lrs, weight_decays, betas, cfg_rngs)
     return jax.vmap(train_one)(lrs, weight_decays, betas, cfg_rngs,
                                init_state)
+
+
+_vmapped_train_loop = functools.partial(
+    jax.jit, static_argnames=("model", "cfg", "batch_size"))(
+        vmapped_train_body)
 
 
 def train_vae_vmapped(model: ConvVAE1D, x_cal, x_val,

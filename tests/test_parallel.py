@@ -288,3 +288,52 @@ def test_cv_sweep_sharded_multiclass(cls_data):
         np.testing.assert_allclose(got["spec"], want["spec"], atol=1e-8)
         np.testing.assert_allclose(got["sens"], want["sens"], atol=1e-8)
         np.testing.assert_array_equal(got["pred"], want["pred"])
+
+
+def test_sharded_config_sweep_matches_local():
+    """The config-sharded sweep trainer (5 configs auto-padded onto the
+    8-chip model axis) reproduces the local vmapped trainer's per-config
+    trajectories: the SAME vmapped_train_body runs, only the config axis
+    is partitioned, so losses match to fp tolerance (partitioned vs full
+    vmap width reassociates f32 sums at the ulp level)."""
+    from ocm_tpu.models.vae import ConvVAE1D
+    from ocm_tpu.parallel.sweep_dist import train_vae_vmapped_sharded
+    from ocm_tpu.utils.sweep import train_vae_vmapped
+
+    rng = np.random.default_rng(31)
+    t = np.linspace(0, 1, 40)
+    mk = lambda n: (rng.normal(1, 0.06, (n, 1)) * np.sin(2 * np.pi * 3 * t)
+                    + rng.normal(0, 0.02, (n, 40))).astype(np.float32)
+    x_cal, x_val = mk(64), mk(24)
+    model = ConvVAE1D(input_length=40, latent_dim=4, conv_blocks=2,
+                      n_filters=8, hidden_fc=32)
+    lrs = np.asarray([3e-4, 1e-3, 2e-3, 5e-3, 1e-2], np.float32)
+    wds = np.zeros(5, np.float32)
+    betas = np.full(5, 0.5, np.float32)
+    mesh = make_mesh((8,), ("model",))
+    key = jax.random.key(7)
+
+    got = train_vae_vmapped_sharded(model, x_cal, x_val, lrs, wds, betas,
+                                    mesh, epochs=3, batch_size=32,
+                                    loss_type="euclidean", rng=key)
+    want = train_vae_vmapped(model, x_cal, x_val, lrs, wds, betas,
+                             epochs=3, batch_size=32,
+                             loss_type="euclidean", rng=key)
+    assert np.asarray(got.val_losses).shape == (5, 3)
+    # tracking, not bitwise: each shard vmaps a NARROWER config slice than
+    # the local full-width vmap, so f32 sums reassociate and Adam's g/|g|
+    # amplifies the ulp differences to lr scale over epochs (the same
+    # documented contract as vmapped-vs-sequential in utils/sweep.py) —
+    # trajectories track at the 1e-2 level after 3 Adam epochs
+    np.testing.assert_allclose(np.asarray(got.train_losses),
+                               np.asarray(want.train_losses), rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(got.val_losses),
+                               np.asarray(want.val_losses), rtol=1e-2)
+    # before Adam amplification compounds (first epoch), tracking is tight
+    np.testing.assert_allclose(np.asarray(got.train_losses)[:, 0],
+                               np.asarray(want.train_losses)[:, 0],
+                               rtol=2e-3)
+    with pytest.raises(ValueError, match="share their length"):
+        train_vae_vmapped_sharded(model, x_cal, x_val, lrs, wds[:2], betas,
+                                  mesh, epochs=1, batch_size=32,
+                                  loss_type="euclidean", rng=key)
