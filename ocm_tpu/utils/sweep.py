@@ -329,7 +329,7 @@ def asha_vae_search(x_cal, x_val, space: Mapping = None, n_trials: int = 9,
                     min_epochs: Optional[int] = None, seed: int = 42,
                     base_config: Optional[Mapping] = None,
                     configs: Optional[Sequence[Mapping]] = None,
-                    verbose: bool = True) -> dict:
+                    mesh=None, verbose: bool = True) -> dict:
     """Dependency-free adaptive HPO: successive halving (the synchronous
     core of ASHA) over the resident trainers.
 
@@ -354,6 +354,14 @@ def asha_vae_search(x_cal, x_val, space: Mapping = None, n_trials: int = 9,
     cohort and ``n_trials``/``space`` sampling is ignored — the hook that
     lets an outer sampler (e.g. ``utils.tpe.bohb_vae_search``) choose the
     cohort while this function provides the vmapped halving schedule.
+
+    ``mesh`` (optional, a ``jax.sharding.Mesh`` with a ``'model'`` axis)
+    shards FRESH rungs' config axes over the mesh
+    (``parallel.sweep_dist.train_vae_vmapped_sharded``) — rung 0, the
+    widest, trains its configs on distinct chips.  Resumed rungs stay on
+    the single-program vmapped path (their survivor states are already
+    stacked device-local).  Sharded trajectories are equivalent fp
+    schedules of the local ones, not bitwise copies (see sweep_dist).
 
     Returns ``{"best_config", "best_value", "best_bundle", "history",
     "total_epochs", "rungs", "trials"}``; ``total_epochs`` (sum of epochs
@@ -431,14 +439,24 @@ def asha_vae_search(x_cal, x_val, space: Mapping = None, n_trials: int = 9,
             if grp[0]["state"] is not None:
                 init = jax.tree.map(lambda *xs: jnp.stack(xs),
                                     *[tr["state"] for tr in grp])
-            res = train_vae_vmapped(
-                model, x_cal, x_val,
-                [float(c.get("lr", 1e-3)) for c in cfgs],
-                [float(c.get("weight_decay", 0.0)) for c in cfgs],
-                [float(c.get("beta", 1.0)) for c in cfgs],
-                epochs=delta, batch_size=arch[7], loss_type=arch[8],
-                spec_stats=spec_stats, cfg_rngs=cfg_rngs,
-                init_state=init, epoch_offset=grp[0]["epochs"])
+            grp_lrs = [float(c.get("lr", 1e-3)) for c in cfgs]
+            grp_wds = [float(c.get("weight_decay", 0.0)) for c in cfgs]
+            grp_betas = [float(c.get("beta", 1.0)) for c in cfgs]
+            if mesh is not None and init is None:
+                from ocm_tpu.parallel.sweep_dist import (
+                    train_vae_vmapped_sharded)
+
+                res = train_vae_vmapped_sharded(
+                    model, x_cal, x_val, grp_lrs, grp_wds, grp_betas,
+                    mesh, epochs=delta, batch_size=arch[7],
+                    loss_type=arch[8], spec_stats=spec_stats,
+                    cfg_rngs=cfg_rngs)
+            else:
+                res = train_vae_vmapped(
+                    model, x_cal, x_val, grp_lrs, grp_wds, grp_betas,
+                    epochs=delta, batch_size=arch[7], loss_type=arch[8],
+                    spec_stats=spec_stats, cfg_rngs=cfg_rngs,
+                    init_state=init, epoch_offset=grp[0]["epochs"])
             vls = np.asarray(res.val_losses)            # (n_grp, delta)
             for j, tr in enumerate(grp):
                 tr["epochs"] = target

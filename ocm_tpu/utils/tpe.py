@@ -380,7 +380,7 @@ def bohb_vae_search(x_cal, x_val, space: Optional[Mapping] = None,
                     n_brackets: int = 3, trials_per_bracket: int = 9,
                     max_epochs: int = 27, reduction: int = 3,
                     seed: int = 42, base_config: Optional[Mapping] = None,
-                    verbose: bool = True) -> dict:
+                    mesh=None, verbose: bool = True) -> dict:
     """BOHB-style HPO (Falkner et al. 2018's combination, simplified):
     TPE sampling ACROSS brackets, vmapped successive halving WITHIN each.
 
@@ -432,7 +432,7 @@ def bohb_vae_search(x_cal, x_val, space: Optional[Mapping] = None,
         out = asha_vae_search(x_cal, x_val, space,
                               max_epochs=max_epochs, reduction=reduction,
                               seed=seed + b, base_config=base_config,
-                              configs=cohort, verbose=verbose)
+                              configs=cohort, mesh=mesh, verbose=verbose)
         for tr in out["trials"]:
             sampler.tell(tr["config"], tr["best_val"])
         total_epochs += out["total_epochs"]

@@ -337,3 +337,29 @@ def test_sharded_config_sweep_matches_local():
         train_vae_vmapped_sharded(model, x_cal, x_val, lrs, wds[:2], betas,
                                   mesh, epochs=1, batch_size=32,
                                   loss_type="euclidean", rng=key)
+
+
+def test_asha_with_mesh_shards_fresh_rungs():
+    """asha_vae_search(mesh=...) runs rung 0 through the config-sharded
+    trainer and the rest through resume — end result structurally
+    identical to the local search and the winner's objective finite."""
+    from ocm_tpu.utils.sweep import asha_vae_search
+
+    rng = np.random.default_rng(33)
+    t = np.linspace(0, 1, 40)
+    mk = lambda n: (rng.normal(1, 0.06, (n, 1)) * np.sin(2 * np.pi * 3 * t)
+                    + rng.normal(0, 0.02, (n, 40))).astype(np.float32)
+    x_cal, x_val = mk(64), mk(24)
+    space = {"lr": ("loguniform", 1e-4, 1e-2)}
+    base = {"latent_dim": 4, "conv_blocks": 1, "n_filters": 4,
+            "kernel_size": 5, "hidden_fc": 16, "batch_size": 32,
+            "loss_type": "euclidean"}
+    mesh = make_mesh((8,), ("model",))
+    out = asha_vae_search(x_cal, x_val, space, n_trials=4, max_epochs=4,
+                          reduction=2, seed=5, base_config=base,
+                          mesh=mesh, verbose=False)
+    assert np.isfinite(out["best_value"])
+    assert out["best_bundle"] is not None
+    assert len(out["trials"]) == 4
+    # halving actually happened (some budget saved vs full fidelity)
+    assert out["total_epochs"] < 4 * 4
