@@ -7,6 +7,10 @@ utils/final_vaesimca.py:267-322):
 2. ``--mode vmapped``: all same-architecture configs trained SIMULTANEOUSLY
    in one jitted program — the config axis is a vmap batch dimension
    (BASELINE.json config 5).
+3. ``--mode sharded``: the same config batch with its axis SHARDED over a
+   device mesh — distinct configs on distinct chips
+   (parallel.sweep_dist; runs on the virtual CPU mesh via
+   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8).
 
     python examples/sweep_vae.py --mode vmapped
 """
@@ -52,11 +56,21 @@ def main(mode="vmapped", epochs=20, out_dir="out/sweep_vae", seed=42):
     model = ConvVAE1D(input_length=x_tr.shape[1], latent_dim=8,
                       conv_blocks=2, n_filters=16, hidden_fc=64)
     lrs = [1e-3, 3e-3, 1e-2, 3e-4]
-    res = train_vae_vmapped(model, x_cal, x_val,
-                            lrs=lrs, weight_decays=[0.0] * 4,
-                            betas=[1.0, 1.0, 0.1, 0.1],
-                            epochs=epochs, batch_size=64,
-                            loss_type="cosine", rng=jax.random.key(seed))
+    if mode == "sharded":
+        from ocm_tpu.parallel.mesh import make_mesh
+        from ocm_tpu.parallel.sweep_dist import train_vae_vmapped_sharded
+
+        mesh = make_mesh((jax.device_count(),), ("model",))
+        res = train_vae_vmapped_sharded(
+            model, x_cal, x_val, lrs, [0.0] * 4, [1.0, 1.0, 0.1, 0.1],
+            mesh, epochs=epochs, batch_size=64, loss_type="cosine",
+            rng=jax.random.key(seed))
+    else:
+        res = train_vae_vmapped(model, x_cal, x_val,
+                                lrs=lrs, weight_decays=[0.0] * 4,
+                                betas=[1.0, 1.0, 0.1, 0.1],
+                                epochs=epochs, batch_size=64,
+                                loss_type="cosine", rng=jax.random.key(seed))
     vl = np.asarray(res.val_losses)  # (4, epochs)
     best = int(np.argmin(vl.min(axis=1)))
     print("per-config best val loss:", np.round(vl.min(axis=1), 4),
@@ -67,7 +81,7 @@ def main(mode="vmapped", epochs=20, out_dir="out/sweep_vae", seed=42):
 if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="vmapped",
-                   choices=["runner", "vmapped"])
+                   choices=["runner", "vmapped", "sharded"])
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--out-dir", default="out/sweep_vae")
     p.add_argument("--seed", type=int, default=42)

@@ -31,6 +31,7 @@ run hpo_nuts --bohb --brackets 1 --n-trials 2 --epochs 4 --out-dir $OUT/hpo_bohb
 run full_pipeline --quick --lv-max 4 --out-dir $OUT/pipeline
 run cheese_eda_plsda --max-components 8 --out-dir $OUT/plsda
 run sweep_vae --mode vmapped --epochs 5
+run sweep_vae --mode sharded --epochs 4
 run sweep_vae --mode runner --epochs 3 --out-dir $OUT/sw
 run distributed_scoring --n-spectra 20000
 run hsi_pipeline --size 96 --n-cubes 2
