@@ -72,8 +72,9 @@ def main(mode="vmapped", epochs=20, out_dir="out/sweep_vae", seed=42):
                                 epochs=epochs, batch_size=64,
                                 loss_type="cosine", rng=jax.random.key(seed))
     vl = np.asarray(res.val_losses)  # (4, epochs)
-    best = int(np.argmin(vl.min(axis=1)))
-    print("per-config best val loss:", np.round(vl.min(axis=1), 4),
+    per_cfg = np.where(np.isfinite(vl), vl, np.inf).min(axis=1)
+    best = int(np.argmin(per_cfg))         # a diverged (NaN) config never wins
+    print("per-config best val loss:", np.round(per_cfg, 4),
           "-> best config", best, f"(lr={lrs[best]})")
     return res
 

@@ -25,11 +25,10 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ocm_tpu.models.bundle import new_bundle, spectral_stats
 from ocm_tpu.models.trainer import TrainConfig, TrainResult
-from ocm_tpu.utils.sweep import vmapped_train_body
+from ocm_tpu.utils.sweep import sweep_prep, sweep_result, vmapped_train_body
 
 __all__ = ["train_vae_vmapped_sharded"]
 
@@ -88,31 +87,11 @@ def train_vae_vmapped_sharded(model, x_cal, x_val, lrs, weight_decays,
     rung-based HPO re-enters with the kept configs' states stacked, which
     would need a gather across the kill pattern here).
     """
-    lrs = np.asarray(lrs, np.float32)
-    weight_decays = np.asarray(weight_decays, np.float32)
-    betas = np.asarray(betas, np.float32)
+    (lrs, weight_decays, betas, cfg_rngs, xc_std, xv_std, mean, std,
+     cfg) = sweep_prep(x_cal, x_val, lrs, weight_decays, betas, epochs,
+                       batch_size, loss_type, loss_space, val_every,
+                       spec_stats, rng, cfg_rngs)
     n_cfg = lrs.shape[0]
-    if weight_decays.shape[0] != n_cfg or betas.shape[0] != n_cfg:
-        raise ValueError("lrs/weight_decays/betas must share their length")
-
-    x_cal = jnp.asarray(x_cal)
-    x_val = jnp.asarray(x_val)
-    if spec_stats is None:
-        mean, std = spectral_stats(np.asarray(x_cal))
-    else:
-        mean, std = spec_stats
-    mean = jnp.asarray(mean, x_cal.dtype)
-    std = jnp.asarray(std, x_cal.dtype)
-    xc_std = (x_cal - mean) / std
-    xv_std = (x_val - mean) / std
-    bs = min(batch_size, int(x_cal.shape[0]))
-    cfg = TrainConfig(epochs=epochs, batch_size=bs, loss_type=loss_type,
-                      val_every=val_every, loss_space=loss_space)
-
-    if cfg_rngs is None:
-        if rng is None:
-            raise ValueError("pass rng or cfg_rngs")
-        cfg_rngs = jax.random.split(rng, n_cfg)
 
     # cyclic config padding to the mesh size (same idiom as the fold/unit
     # padding in parallel.simca_dist); padded rows are dropped below
@@ -120,18 +99,13 @@ def train_vae_vmapped_sharded(model, x_cal, x_val, lrs, weight_decays,
     pad = (-n_cfg) % n_chips
     if pad:
         reps = np.arange(pad) % n_cfg
-        lrs = np.concatenate([lrs, lrs[reps]])
-        weight_decays = np.concatenate([weight_decays, weight_decays[reps]])
-        betas = np.concatenate([betas, betas[reps]])
-        cfg_rngs = jnp.concatenate([cfg_rngs, cfg_rngs[reps]])
+        take = lambda a: jnp.concatenate([a, a[reps]])
+        lrs, weight_decays, betas, cfg_rngs = map(
+            take, (lrs, weight_decays, betas, cfg_rngs))
 
-    run = _sharded_sweep_jit(model, cfg, bs, mesh, model_axis)
-    out = run(0, xc_std, xv_std, mean, std, jnp.asarray(lrs),
-              jnp.asarray(weight_decays), jnp.asarray(betas), cfg_rngs)
+    run = _sharded_sweep_jit(model, cfg, cfg.batch_size, mesh, model_axis)
+    out = run(0, xc_std, xv_std, mean, std, lrs, weight_decays, betas,
+              cfg_rngs)
     if pad:
         out = jax.tree.map(lambda a: a[:n_cfg], out)
-    (f_params, f_bs, f_opt, best_params, best_bs, best_ep, tl, vls) = out
-    bundles = jax.vmap(
-        lambda p, b: new_bundle(p, b, mean, std, model.latent_dim)
-    )(best_params, best_bs)
-    return TrainResult(bundles, tl, vls, best_ep, f_params, f_bs, f_opt)
+    return sweep_result(out, mean, std, model, epoch_offset=0)

@@ -234,11 +234,30 @@ def train_vae_vmapped(model: ConvVAE1D, x_cal, x_val,
     whose config population changes between calls (rung kills) can keep
     each config's stream stable.
     """
+    (lrs, weight_decays, betas, cfg_rngs, xc_std, xv_std, mean, std,
+     cfg) = sweep_prep(x_cal, x_val, lrs, weight_decays, betas, epochs,
+                       batch_size, loss_type, loss_space, val_every,
+                       spec_stats, rng, cfg_rngs)
+    init = tuple(init_state) if init_state is not None else None
+    out = _vmapped_train_loop(model, cfg, cfg.batch_size, epoch_offset,
+                              xc_std, xv_std, mean, std, lrs,
+                              weight_decays, betas, cfg_rngs, init)
+    return sweep_result(out, mean, std, model, epoch_offset)
+
+
+def sweep_prep(x_cal, x_val, lrs, weight_decays, betas, epochs: int,
+               batch_size: int, loss_type: str, loss_space: str,
+               val_every: int, spec_stats, rng, cfg_rngs):
+    """Shared config-sweep prologue (validation, standardization, the
+    traced-placeholder TrainConfig, default per-config RNG streams) —
+    single-sourced for the local vmapped trainer and the mesh-sharded one
+    (parallel.sweep_dist), so their semantics cannot drift."""
     lrs = jnp.asarray(lrs, jnp.float32)
     weight_decays = jnp.asarray(weight_decays, jnp.float32)
     betas = jnp.asarray(betas, jnp.float32)
     n_cfg = lrs.shape[0]
-    assert weight_decays.shape[0] == n_cfg and betas.shape[0] == n_cfg
+    if weight_decays.shape[0] != n_cfg or betas.shape[0] != n_cfg:
+        raise ValueError("lrs/weight_decays/betas must share their length")
 
     x_cal = jnp.asarray(x_cal)
     x_val = jnp.asarray(x_val)
@@ -260,10 +279,13 @@ def train_vae_vmapped(model: ConvVAE1D, x_cal, x_val,
         if rng is None:
             raise ValueError("pass rng or cfg_rngs")
         cfg_rngs = jax.random.split(rng, n_cfg)
-    init = tuple(init_state) if init_state is not None else None
-    out = _vmapped_train_loop(model, cfg, bs, epoch_offset, xc_std, xv_std,
-                              mean, std, lrs, weight_decays, betas,
-                              cfg_rngs, init)
+    return (lrs, weight_decays, betas, cfg_rngs, xc_std, xv_std, mean,
+            std, cfg)
+
+
+def sweep_result(out, mean, std, model, epoch_offset) -> TrainResult:
+    """Shared config-sweep epilogue: unpack the epoch_scan 8-tuple, build
+    per-config bundles, assemble the TrainResult (leading config axis)."""
     (f_params, f_bs, f_opt, best_params, best_bs, best_ep, tl, vls) = out
     bundles = jax.vmap(
         lambda p, b: new_bundle(p, b, mean, std, model.latent_dim)

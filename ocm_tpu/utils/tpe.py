@@ -399,6 +399,11 @@ def bohb_vae_search(x_cal, x_val, space: Optional[Mapping] = None,
     TPE+MedianPruner (``tpe_vae_search`` — maximum sample-efficiency, no
     parallelism) and plain ASHA (maximum parallelism, random sampling).
 
+    ``mesh`` (optional, a ``jax.sharding.Mesh`` with a ``'model'`` axis)
+    is forwarded to ``asha_vae_search``: each bracket's FRESH rungs train
+    config-sharded across the mesh's chips (parallel.sweep_dist; sharded
+    trajectories are equivalent fp schedules of the local ones).
+
     Returns ``{"best_config", "best_value", "best_bundle", "history",
     "total_epochs"}``; ``history`` is one entry per bracket with the
     per-trial summaries from the inner halving.
