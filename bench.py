@@ -15,9 +15,34 @@ vs_baseline = throughput ratio over the CPU reference.
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def wait_for_device(max_tries=6, wait_s=30, probe_timeout=300):
+    """Block until the hosted TPU backend initializes, probing in a
+    SUBPROCESS (a failed plugin init is cached for the life of a process,
+    so an in-process retry would keep raising).  The axon tunnel has
+    transient outages; the driver runs this script unattended at round
+    end, so a crash here would record no benchmark at all.  Returns False
+    if the device never comes up — the caller then forces the CPU backend
+    so ONE honest JSON line is still emitted.
+    """
+    for i in range(max_tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=probe_timeout)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i < max_tries - 1:
+            time.sleep(wait_s)
+    return False
 
 
 def make_data(seed=0, n_cal=700, length=500, n_classes=3, n_score=98304):
@@ -112,6 +137,11 @@ def bench_cpu_reference(cals, xs, k=10, repeats=2):
 def main():
     cals, xs = make_data()
     n_work = xs.shape[0] * len(cals)          # class-scores produced
+    if not wait_for_device():
+        # Last resort: the tunnel never came up.  Emit a real (CPU-backend)
+        # measurement rather than crashing with no artifact.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     tpu_t = bench_tpu(cals, xs)
     cpu_t = bench_cpu_reference(cals, xs)
     value = n_work / tpu_t

@@ -70,6 +70,30 @@ def shard_batch(x, mesh: Mesh, axis: str = DATA_AXIS):
     return jax.device_put(x, batch_sharding(mesh, axis))
 
 
+def cyclic_pad(arrays, multiple: int):
+    """Pad each array's leading axis to a multiple by cyclic repetition.
+
+    Maps an arbitrary unit count (CV folds, class x fold cells, HPO
+    configs) onto a mesh axis: padded units are repeats of real ones, so
+    they compute real (discarded) results instead of degenerate masks.
+    Returns ``(padded_arrays, pad)``; callers drop the last ``pad`` rows
+    of every output.  Array types are preserved (np stays host-side, jnp
+    — including PRNG key arrays — stays jnp).
+    """
+    n = arrays[0].shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return list(arrays), 0
+    reps = np.arange(pad) % n
+    import jax.numpy as jnp
+
+    def _one(a):
+        cat = np.concatenate if isinstance(a, np.ndarray) else jnp.concatenate
+        return cat([a, a[reps]], axis=0)
+
+    return [_one(a) for a in arrays], pad
+
+
 def pad_to_multiple(x, multiple: int, axis: int = 0):
     """Pad with repeated last rows to a multiple; returns (padded, n_true)."""
     n = x.shape[axis]

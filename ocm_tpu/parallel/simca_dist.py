@@ -27,7 +27,8 @@ from ocm_tpu.models.simca import (SIMCAModel, masked_q_limit,
 from ocm_tpu.ops.linalg import (deflated_theta_tables, deflated_thetas,
                                 eigh_desc_signed, pca_topk_cov, pinv_psd,
                                 thetas_from_tables)
-from ocm_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
+from ocm_tpu.parallel.mesh import (DATA_AXIS, batch_sharding, cyclic_pad,
+                                   replicated)
 from ocm_tpu.stats import limits as L
 
 
@@ -174,12 +175,8 @@ def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
     x = jnp.asarray(x)
     y_np = np.asarray(y)
     train_np, held_np = cv_mod.fold_masks(y_np, cls_label, n_splits)
-    n_chips = mesh.shape[model_axis]
-    f_pad = (-n_splits) % n_chips
-    if f_pad:
-        reps = np.arange(f_pad) % n_splits
-        train_np = np.concatenate([train_np, train_np[reps]], axis=0)
-        held_np = np.concatenate([held_np, held_np[reps]], axis=0)
+    (train_np, held_np), f_pad = cyclic_pad(
+        (train_np, held_np), mesh.shape[model_axis])
     lvs = jnp.asarray(list(lv_values), dtype=jnp.int32)
     other_m = jnp.asarray(y_np != cls_label)
 
@@ -252,13 +249,8 @@ def cv_sweep_sharded_multiclass(x, y, class_labels, lv_values, mesh: Mesh,
     flat_held = np.concatenate(helds)
     flat_other = np.concatenate(others)
     n_units = flat_train.shape[0]
-    n_chips = mesh.shape[model_axis]
-    pad = (-n_units) % n_chips
-    if pad:
-        reps = np.arange(pad) % n_units
-        flat_train = np.concatenate([flat_train, flat_train[reps]])
-        flat_held = np.concatenate([flat_held, flat_held[reps]])
-        flat_other = np.concatenate([flat_other, flat_other[reps]])
+    (flat_train, flat_held, flat_other), pad = cyclic_pad(
+        (flat_train, flat_held, flat_other), mesh.shape[model_axis])
     lvs = jnp.asarray(list(lv_values), dtype=jnp.int32)
     n_sub = min(int(max(lv_values)) + oversample, x.shape[1])
 
@@ -323,11 +315,7 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
         t2_method = q_method = "chi2pom"
 
     train_np, held_np = cv_mod.fold_masks(y_np, cls_label, n_splits)
-    f_pad = (-n_splits) % n_model
-    if f_pad:
-        reps = np.arange(f_pad) % n_splits
-        train_np = np.concatenate([train_np, train_np[reps]], axis=0)
-        held_np = np.concatenate([held_np, held_np[reps]], axis=0)
+    (train_np, held_np), f_pad = cyclic_pad((train_np, held_np), n_model)
     other_np = (y_np != cls_label)
     valid_np = np.ones(n, dtype=bool)
     pad = (-n) % n_data

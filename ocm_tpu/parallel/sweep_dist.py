@@ -13,9 +13,10 @@ embarrassingly-parallel config axis across chips (SURVEY.md §5.8's
 training is independent; nothing rides ICI but the initial broadcast of
 the replicated spectra.
 
-Config count auto-pads to the mesh size by cyclic repetition (the same
-idiom as the fold/model-unit padding in parallel.simca_dist); padded
-configs train real trajectories but are dropped from every output.
+Config count auto-pads to the mesh size by cyclic repetition
+(parallel.mesh.cyclic_pad, shared with the fold/unit padding in
+parallel.simca_dist); padded configs train real trajectories but are
+dropped from every output.
 """
 
 from __future__ import annotations
@@ -23,11 +24,10 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ocm_tpu.models.trainer import TrainConfig, TrainResult
+from ocm_tpu.parallel.mesh import cyclic_pad
 from ocm_tpu.utils.sweep import sweep_prep, sweep_result, vmapped_train_body
 
 __all__ = ["train_vae_vmapped_sharded"]
@@ -93,15 +93,13 @@ def train_vae_vmapped_sharded(model, x_cal, x_val, lrs, weight_decays,
                        spec_stats, rng, cfg_rngs)
     n_cfg = lrs.shape[0]
 
-    # cyclic config padding to the mesh size (same idiom as the fold/unit
-    # padding in parallel.simca_dist); padded rows are dropped below
-    n_chips = mesh.shape[model_axis]
-    pad = (-n_cfg) % n_chips
-    if pad:
-        reps = np.arange(pad) % n_cfg
-        take = lambda a: jnp.concatenate([a, a[reps]])
-        lrs, weight_decays, betas, cfg_rngs = map(
-            take, (lrs, weight_decays, betas, cfg_rngs))
+    if model_axis not in mesh.shape:
+        raise ValueError(
+            f"mesh has no axis {model_axis!r} (axes: "
+            f"{tuple(mesh.axis_names)}); build one with "
+            f"make_mesh((n,), ('model',)) or pass model_axis=")
+    (lrs, weight_decays, betas, cfg_rngs), pad = cyclic_pad(
+        (lrs, weight_decays, betas, cfg_rngs), mesh.shape[model_axis])
 
     run = _sharded_sweep_jit(model, cfg, cfg.batch_size, mesh, model_axis)
     out = run(0, xc_std, xv_std, mean, std, lrs, weight_decays, betas,

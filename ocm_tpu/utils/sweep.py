@@ -157,18 +157,16 @@ def traced_adam(lr, weight_decay):
 def vmapped_train_body(model: ConvVAE1D, cfg: TrainConfig, batch_size: int,
                        epoch_offset, xc_std, xv_std, mean, std,
                        lrs, weight_decays, betas, cfg_rngs, init_state):
-    """The vmapped config-batch epoch loop (unjitted body — jitted below as
-    ``_vmapped_train_loop``; ``parallel.sweep_dist`` shard_maps this same
-    body over the config axis of a device mesh).
-
-    Keyed on (model, cfg, batch_size) plus the pytree structure of
-    ``init_state`` (None for fresh runs) — repeated calls with the same
-    architecture and epoch count (ASHA rungs, sweep benchmarks) hit the
-    compile cache instead of re-tracing a per-call closure (the same trap
-    CLAUDE.md records for trainer._train_loop).  ``epoch_offset`` is a
-    TRACED scalar (RNG fold_in + val_every modulus only), so ASHA rung
-    resumes at different global epochs share one executable per rung
-    length."""
+    """The vmapped config-batch epoch loop — the UNJITTED body.  Calling
+    it directly re-traces every time; the cached entry points are
+    ``_vmapped_train_loop`` below (jit with static (model, cfg,
+    batch_size) — repeated ASHA rungs / sweep benchmarks reuse one
+    executable per rung length, the same trap CLAUDE.md records for
+    trainer._train_loop) and ``parallel.sweep_dist._sharded_sweep_jit``,
+    which shard_maps this same body over the config axis of a device
+    mesh.  ``epoch_offset`` is a TRACED scalar (RNG fold_in + val_every
+    modulus only), so rung resumes at different global epochs share one
+    executable."""
     spec = (mean, std) if cfg.loss_space == "raw" else None
 
     def train_one(lr, wd, beta, cfg_rng, init):
@@ -465,6 +463,16 @@ def asha_vae_search(x_cal, x_val, space: Mapping = None, n_trials: int = 9,
             grp_wds = [float(c.get("weight_decay", 0.0)) for c in cfgs]
             grp_betas = [float(c.get("beta", 1.0)) for c in cfgs]
             if mesh is not None and init is None:
+                # The sharded path has no resume contract (fresh runs
+                # only) and is called without epoch_offset: both are safe
+                # ONLY at the first rung.  Assert the invariant rather
+                # than rely on it — a future warm-started cohort or a
+                # state-freeing change would otherwise silently restart
+                # trajectories at offset 0.
+                if grp[0]["epochs"] != 0:
+                    raise AssertionError(
+                        "sharded rung reached with trained trials but no "
+                        "resume state — would restart trajectories")
                 from ocm_tpu.parallel.sweep_dist import (
                     train_vae_vmapped_sharded)
 

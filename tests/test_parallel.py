@@ -363,3 +363,39 @@ def test_asha_with_mesh_shards_fresh_rungs():
     assert len(out["trials"]) == 4
     # halving actually happened (some budget saved vs full fidelity)
     assert out["total_epochs"] < 4 * 4
+
+
+def test_cyclic_pad_helper():
+    """cyclic_pad: leading-axis repetition, type preservation (np stays
+    host-side, jnp/PRNG-key arrays stay jnp), zero-pad passthrough."""
+    from ocm_tpu.parallel.mesh import cyclic_pad
+
+    a = np.arange(10).reshape(5, 2)
+    b = jnp.arange(5.0)
+    k = jax.random.split(jax.random.key(0), 5)
+    (pa, pb, pk), pad = cyclic_pad((a, b, k), 8)
+    assert pad == 3
+    assert isinstance(pa, np.ndarray) and pa.shape == (8, 2)
+    np.testing.assert_array_equal(pa[5:], a[:3])
+    assert isinstance(pb, jax.Array) and pb.shape == (8,)
+    np.testing.assert_array_equal(np.asarray(pb[5:]), np.asarray(b[:3]))
+    assert pk.shape == (8,) and jnp.issubdtype(pk.dtype, jax.dtypes.prng_key)
+    same, pad0 = cyclic_pad((a,), 5)
+    assert pad0 == 0 and same[0] is a
+
+
+def test_sharded_config_sweep_rejects_missing_model_axis():
+    """A mesh without the model axis fails fast with a named error, not a
+    KeyError deep inside the shard_map."""
+    from ocm_tpu.models.vae import ConvVAE1D
+    from ocm_tpu.parallel.sweep_dist import train_vae_vmapped_sharded
+
+    model = ConvVAE1D(input_length=40, latent_dim=4, conv_blocks=1,
+                      n_filters=4, hidden_fc=16)
+    x = np.zeros((32, 40), np.float32)
+    data_mesh = make_mesh((8,), ("data",))
+    with pytest.raises(ValueError, match="no axis 'model'"):
+        train_vae_vmapped_sharded(model, x, x, [1e-3], [0.0], [1.0],
+                                  data_mesh, epochs=1, batch_size=16,
+                                  loss_type="euclidean",
+                                  rng=jax.random.key(0))
