@@ -257,6 +257,31 @@ def predict_classes(models: SIMCAModel, x, decision_type: str = "alt",
     return jax.vmap(lambda m: simca_decide(m, x, decision_type))(models)
 
 
+def predict_classes_int8(models: SIMCAModel, xq, x_scale, x_sumsq,
+                         decision_type: str = "alt", x_offset=None):
+    """``predict_classes`` (fused path) over int8-quantized residuals.
+
+    ``(xq, x_scale, x_sumsq)`` come from
+    ``ops.linalg.quantize_rows_int8(x - x_offset)`` — quantize the
+    PRE-CENTERED residual so the error scales with the residual, not the
+    spectrum's common mode (same contract as the bf16 serving path), and
+    pass the same ``x_offset`` here so it folds into the class means.
+    One int8 HBM pass scores all C classes (the ||x||^2 term ships
+    precomputed); statistics and limits stay f32.  Returns
+    (accept, dred, t2, q), each (C, N).
+    """
+    from ocm_tpu.ops.linalg import t2_q_scores_multiclass_int8
+
+    t2, q, _ = t2_q_scores_multiclass_int8(
+        xq, x_scale, x_sumsq, models.mean, models.components,
+        models.invcovT, x_offset=x_offset)
+    dred = jax.vmap(
+        lambda t2c, qc, tr, qr: L.reduced_distance(
+            decision_type, t2c, qc, tr, qr)
+    )(t2, q, models.t2_res, models.q_res)
+    return dred < models.d_limit[:, None], dred, t2, q
+
+
 class MaskedPCA(NamedTuple):
     """Full masked eigendecomposition shared by a whole LV sweep.
 

@@ -53,6 +53,11 @@ class _ChunkedScorer:
         else:
             self._fn = jax.jit(decide_fn)
 
+    def _prepare_chunk(self, chunk: np.ndarray) -> tuple:
+        """Host-side prep of one padded chunk into the decide fn's args
+        (overridden by quantized-storage paths)."""
+        return (jnp.asarray(chunk),)
+
     def score(self, x) -> dict:
         """Score an (N, L) array in fixed-shape chunks; returns a dict of
         np arrays ('accept' plus the per-variant statistics)."""
@@ -61,7 +66,7 @@ class _ChunkedScorer:
         for start in range(0, x.shape[0], self.chunk_size):
             chunk, n = _pad_chunk(x[start:start + self.chunk_size],
                                   self.chunk_size)
-            res = self._fn(jnp.asarray(chunk))
+            res = self._fn(*self._prepare_chunk(chunk))
             outs.append(jax.tree.map(lambda a: np.asarray(a)[:n], res))
         if not outs:
             return {}
@@ -100,17 +105,62 @@ class SIMCAScorer(_ChunkedScorer):
     f32 accumulation and statistics.  Measured 1.9x scoring throughput
     with decisions unchanged on the headline workload
     (docs/BENCHMARKS.md).
+
+    ``store_dtype=jnp.int8`` halves the streamed bytes AGAIN: each
+    host-centered residual row is symmetrically quantized to int8 with a
+    per-row f32 scale (ops.linalg.quantize_rows_int8), the projection
+    GEMM runs int8 x int8 -> int32 with EXACT accumulation on the MXU's
+    integer tier, and the ||x||^2 term ships precomputed so the device
+    reads each chunk exactly once.  Statistics and limits stay f32;
+    decision parity vs the f32 scorer is asserted in
+    tests/test_serving.py (per-row quantization of the RESIDUAL keeps
+    the error below the acceptance margins the same way the bf16 path
+    does).
     """
 
     def __init__(self, model: SIMCAModel, decision_type: str = "alt",
                  chunk_size: int = 8192, mesh=None, store_dtype=None):
-        from ocm_tpu.models.simca import predict_classes
+        from ocm_tpu.models.simca import (predict_classes,
+                                          predict_classes_int8)
 
-        if store_dtype is not None and (jnp.dtype(store_dtype)
-                                        != jnp.dtype(jnp.bfloat16)):
-            raise ValueError("store_dtype supports only jnp.bfloat16")
+        if store_dtype is not None and jnp.dtype(store_dtype) not in (
+                jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int8)):
+            raise ValueError(
+                "store_dtype supports jnp.bfloat16 or jnp.int8")
         self._center = None
         self._store_dtype = store_dtype
+        self._int8 = (store_dtype is not None
+                      and jnp.dtype(store_dtype) == jnp.dtype(jnp.int8))
+        if self._int8:
+            # int8 residual storage: host centers + per-row quantizes each
+            # chunk (ops.linalg.quantize_rows_int8); the device streams
+            # HALF the bf16 path's bytes through an exact-accumulation
+            # int8 GEMM and skips the second ||x||^2 pass (shipped
+            # precomputed).  Single-class models score through the same
+            # stacked op with the mean folded into the host centering.
+            if np.ndim(model.mean) == 2:
+                self._center = np.mean(np.asarray(model.mean, np.float32),
+                                       axis=0)
+                x_offset = jnp.asarray(self._center)
+                squeeze = False
+            else:
+                self._center = np.asarray(model.mean, np.float32)
+                model = jax.tree.map(lambda a: jnp.asarray(a)[None], model)
+                model = model._replace(mean=jnp.zeros_like(model.mean))
+                x_offset = None
+                squeeze = True
+
+            def decide(xq, xs, x2):
+                accept, dred, t2, q = predict_classes_int8(
+                    model, xq, xs, x2, decision_type, x_offset=x_offset)
+                if squeeze:
+                    return {"accept": accept[0], "dred": dred[0],
+                            "t2": t2[0], "q": q[0]}
+                return {"accept": accept.T, "dred": dred.T,
+                        "t2": t2.T, "q": q.T}
+
+            super().__init__(decide, chunk_size, mesh)
+            return
         if np.ndim(model.mean) == 2:             # stacked multi-class model
             # ALWAYS pre-center on the host against the shared
             # mean-of-class-means offset (it folds into the class means
@@ -146,13 +196,21 @@ class SIMCAScorer(_ChunkedScorer):
 
         super().__init__(decide, chunk_size, mesh)
 
+    def _prepare_chunk(self, chunk: np.ndarray) -> tuple:
+        if not self._int8:
+            return super()._prepare_chunk(chunk)
+        from ocm_tpu.ops.linalg import quantize_rows_int8
+
+        xq, xs, x2 = quantize_rows_int8(np.asarray(chunk, np.float32))
+        return jnp.asarray(xq), jnp.asarray(xs), jnp.asarray(x2)
+
     def score(self, x) -> dict:
         if self._center is not None:
-            # center in f32 on the host; with store_dtype=bf16 the
-            # residual ships at half width (halving the host->device
-            # transfer AND the device-side streaming read)
+            # center in f32 on the host; with store_dtype=bf16/int8 the
+            # residual ships at half/quarter width (shrinking the
+            # host->device transfer AND the device-side streaming read)
             x = np.asarray(x, np.float32) - self._center[None, :]
-            if self._store_dtype is not None:
+            if self._store_dtype is not None and not self._int8:
                 import ml_dtypes
 
                 x = x.astype(ml_dtypes.bfloat16)

@@ -249,3 +249,59 @@ def test_vae_scorer_bf16_twin(vae_bundle):
     assert all(v.dtype.itemsize >= 4 for k, v in r16.items()
                if k != "accept")
     assert np.mean(r32["accept"] == r16["accept"]) >= 0.98
+
+
+def test_simca_scorer_int8_store(simca_model):
+    """store_dtype=int8: host centering + per-row int8 residual shipping
+    (quarter the f32 bytes, exact integer accumulation); decisions match
+    the f32 scorer."""
+    model, x_new = simca_model
+    s32 = SIMCAScorer(model, chunk_size=64)
+    s8 = SIMCAScorer(model, chunk_size=64, store_dtype=jnp.int8)
+    r32 = s32.score(x_new)
+    r8 = s8.score(x_new)
+    assert r8["accept"].shape == r32["accept"].shape
+    assert np.mean(r32["accept"] == r8["accept"]) >= 0.995
+    np.testing.assert_allclose(
+        r8["dred"], r32["dred"],
+        atol=3e-2 * float(np.abs(r32["dred"]).max()))
+
+
+def test_simca_scorer_multiclass_int8(stacked_models):
+    """int8 multi-class serving: one shared f32 offset, residuals shipped
+    as (int8, scale, sumsq); decisions match the f32 fused scorer."""
+    models, x = stacked_models
+    s32 = SIMCAScorer(models, chunk_size=96)
+    s8 = SIMCAScorer(models, chunk_size=96, store_dtype=jnp.int8)
+    r32 = s32.score(x)
+    r8 = s8.score(x)
+    assert r8["accept"].shape == r32["accept"].shape == (x.shape[0], 3)
+    assert np.mean(r32["accept"] == r8["accept"]) >= 0.995
+    np.testing.assert_allclose(
+        r8["dred"], r32["dred"],
+        atol=3e-2 * float(np.abs(r32["dred"]).max()))
+
+
+def test_simca_scorer_int8_raw_common_mode():
+    """Raw-count-scale spectra (common mode ~1e4): int8 quantization acts
+    on the HOST-CENTERED residual, so the common mode never reaches the
+    quantizer — agreement with per-class f32 scorers stays at the
+    centered level even at 1e4 counts."""
+    from ocm_tpu.models.simca import fit_classes
+
+    rng = np.random.default_rng(13)
+    blocks = [1e4 + 50.0 * make_class_spectra(rng, 90, 64,
+                                              center_shift=0.5 * c)
+              for c in range(3)]
+    x = np.concatenate(blocks).astype(np.float32)
+    y = np.repeat(np.arange(3), 90)
+    models = fit_classes(x, y, [0, 1, 2], 4)
+    x_new = (1e4 + 50.0 * make_class_spectra(rng, 211, 64, center_shift=0.3)
+             ).astype(np.float32)
+    out = SIMCAScorer(models, chunk_size=96,
+                      store_dtype=jnp.int8).score(x_new)
+    for c in range(3):
+        single = SIMCAScorer(jax.tree.map(lambda a: a[c], models),
+                             chunk_size=96)
+        ref = single.score(x_new)
+        assert np.mean(out["accept"][:, c] == ref["accept"]) >= 0.99

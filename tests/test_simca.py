@@ -434,3 +434,53 @@ def test_rsvd_fit_wide_data(rng):
         a_svd, *_ = simca.simca_decide(m_svd, jnp.asarray(x_out))
         a_rs, *_ = simca.simca_decide(m_rs, jnp.asarray(x_out))
         assert np.mean(np.asarray(a_svd) == np.asarray(a_rs)) >= 0.95
+
+
+def test_quantize_rows_int8_roundtrip(rng):
+    """Per-row int8 quantization: dequantization error bounded by half a
+    step, sumsq is the exact norm of the quantized rows, np and jnp paths
+    agree, zero rows are safe."""
+    from ocm_tpu.ops.linalg import quantize_rows_int8
+
+    a = np.concatenate([rng.normal(0, s, (5, 64)).astype(np.float32)
+                        for s in (1e-3, 1.0, 1e4)])
+    a = np.concatenate([a, np.zeros((1, 64), np.float32)])
+    q, s, ss = quantize_rows_int8(a)
+    assert q.dtype == np.int8 and s.dtype == np.float32
+    deq = q.astype(np.float32) * s[:, None]
+    assert np.all(np.abs(a - deq) <= s[:, None] * 0.5 * (1 + 1e-6))
+    np.testing.assert_allclose(ss, np.sum(deq * deq, axis=1), rtol=1e-6)
+    qj, sj, ssj = quantize_rows_int8(jnp.asarray(a))
+    np.testing.assert_array_equal(np.asarray(qj), q)
+    np.testing.assert_allclose(np.asarray(sj), s, rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(ssj), ss, rtol=1e-6)
+
+
+def test_predict_classes_int8_serving_path(rng):
+    """int8-stored pre-centered residuals (per-row scales, exact int32
+    accumulation, precomputed ||x||^2): decisions track the f32 fused
+    path at the same level as the bf16 pre-centered path."""
+    from ocm_tpu.ops.linalg import quantize_rows_int8
+
+    xs = [make_class_spectra(rng, 70, 40, center_shift=s).astype(np.float32)
+          for s in (0.0, 1.2)]
+    x = np.concatenate(xs)
+    classes = np.repeat([0, 1], 70)
+    models = simca.fit_classes(jnp.asarray(x), classes, [0, 1], 4)
+    x_new = np.concatenate(
+        [make_class_spectra(rng, 60, 40, center_shift=s) for s in
+         (0.0, 1.2, 3.0)]).astype(np.float32)
+
+    a32, d32, t32, q32 = simca.predict_classes(models,
+                                               jnp.asarray(x_new))
+    mu0 = np.asarray(jnp.mean(models.mean, axis=0), np.float32)
+    xq, xsc, x2 = quantize_rows_int8(x_new - mu0[None, :])
+    a8, d8, t8, q8 = simca.predict_classes_int8(
+        models, jnp.asarray(xq), jnp.asarray(xsc), jnp.asarray(x2),
+        x_offset=jnp.asarray(mu0))
+    assert d8.dtype in (jnp.float32, jnp.float64)
+    assert np.mean(np.asarray(a8) == np.asarray(a32)) >= 0.995
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(d32),
+                               atol=1e-2 * float(jnp.max(d32)))
+    np.testing.assert_allclose(np.asarray(q8), np.asarray(q32),
+                               atol=2e-2 * float(jnp.max(q32)))
