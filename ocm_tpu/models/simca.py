@@ -217,7 +217,7 @@ def fit_classes(x, classes, class_labels, n_components: int, **kwargs):
 
 
 def predict_classes(models: SIMCAModel, x, decision_type: str = "alt",
-                    fused: bool = True, x_offset=None):
+                    fused: bool = True, x_offset=None, x_sumsq=None):
     """Score one batch against C stacked models: (C, N) accept matrix.
 
     ``fused=True`` (default) computes ALL classes from one GEMM / one HBM
@@ -241,6 +241,11 @@ def predict_classes(models: SIMCAModel, x, decision_type: str = "alt",
     too (or use ``fused=False``, which centers before squaring).  The
     strict-parity ``SIMCA`` wrapper's decisions were verified identical
     either way on the reference protocols (tests/test_reference_parity.py).
+
+    ``x_sumsq`` (fused path only): precomputed f32 ``||x||^2`` per row —
+    serving layers that store residuals compute it once at storage time,
+    removing the op's second full read of the spectra (the serving
+    scorer ships it automatically; see ops.linalg.t2_q_scores_multiclass).
     """
     if fused:
         from ocm_tpu.ops.linalg import t2_q_scores_multiclass
@@ -248,7 +253,8 @@ def predict_classes(models: SIMCAModel, x, decision_type: str = "alt",
         if x.dtype != jnp.bfloat16:
             x = x.astype(models.mean.dtype)
         t2, q, _ = t2_q_scores_multiclass(x, models.mean, models.components,
-                                          models.invcovT, x_offset=x_offset)
+                                          models.invcovT, x_offset=x_offset,
+                                          x_sumsq=x_sumsq)
         dred = jax.vmap(
             lambda t2c, qc, tr, qr: L.reduced_distance(
                 decision_type, t2c, qc, tr, qr)

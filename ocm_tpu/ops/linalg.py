@@ -322,7 +322,8 @@ def t2_q_scores(x, mean, components, invcovT):
     return t2, q, t
 
 
-def t2_q_scores_multiclass(x, means, components, invcovs, x_offset=None):
+def t2_q_scores_multiclass(x, means, components, invcovs, x_offset=None,
+                           x_sumsq=None):
     """T^2 and Q of ``x`` (N, L) against C class models in ONE pass over x.
 
     The per-class formulation (vmap of ``t2_q_scores``) streams the (N, L)
@@ -369,8 +370,14 @@ def t2_q_scores_multiclass(x, means, components, invcovs, x_offset=None):
     xp = g[:, :n_classes * k].reshape(-1, n_classes, k)
     xp = jnp.transpose(xp, (1, 0, 2))                 # (C, N, k) = x P_c^T
     xm = g[:, n_classes * k:].T                       # (C, N)    = x . m_c
-    x32 = x.astype(acc_dtype)
-    x2 = jnp.sum(x32 * x32, axis=-1)                  # (N,) f32 accumulate
+    if x_sumsq is None:
+        x32 = x.astype(acc_dtype)
+        x2 = jnp.sum(x32 * x32, axis=-1)              # (N,) f32 accumulate
+    else:
+        # precomputed ||x||^2 (e.g. once at serving-storage time): the
+        # ||x||^2 reduction is the path's SECOND full read of the
+        # spectra — shipping it precomputed leaves exactly one HBM pass
+        x2 = x_sumsq.astype(acc_dtype)
     mp = jnp.einsum("cl,ckl->ck", means, components)  # (C, k) = m_c P_c^T
     t = xp - mp[:, None, :].astype(acc_dtype)
     m2 = jnp.sum(means * means, axis=-1)              # (C,)

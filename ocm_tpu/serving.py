@@ -131,6 +131,7 @@ class SIMCAScorer(_ChunkedScorer):
         self._store_dtype = store_dtype
         self._int8 = (store_dtype is not None
                       and jnp.dtype(store_dtype) == jnp.dtype(jnp.int8))
+        self._multiclass = np.ndim(model.mean) == 2
         if self._int8:
             # int8 residual storage: host centers + per-row quantizes each
             # chunk (ops.linalg.quantize_rows_int8); the device streams
@@ -175,9 +176,13 @@ class SIMCAScorer(_ChunkedScorer):
                                    axis=0)
             x_offset = jnp.asarray(self._center)
 
-            def decide(xc):
+            def decide(xc, x2):
+                # x2 = host-precomputed ||xc||^2: the fused op's second
+                # full read of the chunk (its ||x||^2 reduction) becomes
+                # a shipped (N,) vector — one HBM pass per chunk
                 accept, dred, t2, q = predict_classes(
-                    model, xc, decision_type, x_offset=x_offset)
+                    model, xc, decision_type, x_offset=x_offset,
+                    x_sumsq=x2)
                 # batch-leading orientation (N, C): matches SIMCA.predict
                 # and keeps the chunk machinery's leading-axis slicing
                 return {"accept": accept.T, "dred": dred.T,
@@ -197,12 +202,18 @@ class SIMCAScorer(_ChunkedScorer):
         super().__init__(decide, chunk_size, mesh)
 
     def _prepare_chunk(self, chunk: np.ndarray) -> tuple:
-        if not self._int8:
-            return super()._prepare_chunk(chunk)
-        from ocm_tpu.ops.linalg import quantize_rows_int8
+        if self._int8:
+            from ocm_tpu.ops.linalg import quantize_rows_int8
 
-        xq, xs, x2 = quantize_rows_int8(np.asarray(chunk, np.float32))
-        return jnp.asarray(xq), jnp.asarray(xs), jnp.asarray(x2)
+            xq, xs, x2 = quantize_rows_int8(np.asarray(chunk, np.float32))
+            return jnp.asarray(xq), jnp.asarray(xs), jnp.asarray(x2)
+        if self._multiclass:
+            # ship ||xc||^2 precomputed (f32, from the same stored values
+            # the device would read) so the fused path reads each chunk
+            # exactly once
+            x2 = np.sum(np.square(np.asarray(chunk, np.float32)), axis=1)
+            return jnp.asarray(chunk), jnp.asarray(x2)
+        return super()._prepare_chunk(chunk)
 
     def score(self, x) -> dict:
         if self._center is not None:

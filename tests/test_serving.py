@@ -305,3 +305,18 @@ def test_simca_scorer_int8_raw_common_mode():
                              chunk_size=96)
         ref = single.score(x_new)
         assert np.mean(out["accept"][:, c] == ref["accept"]) >= 0.99
+
+
+def test_simca_scorer_multiclass_sharded_int8(stacked_models):
+    """Mesh-sharded multi-class serving with both quantized-storage
+    paths: the jit's single batch sharding broadcasts over the
+    (chunk, scale, sumsq) argument tuples."""
+    from ocm_tpu.parallel.mesh import make_mesh
+
+    models, x = stacked_models
+    mesh = make_mesh((8,), ("data",))
+    ref = SIMCAScorer(models, chunk_size=96).score(x)
+    for dt in (None, jnp.int8):
+        out = SIMCAScorer(models, chunk_size=96, mesh=mesh,
+                          store_dtype=dt).score(x)
+        assert np.mean(out["accept"] == ref["accept"]) >= 0.995

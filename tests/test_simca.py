@@ -484,3 +484,21 @@ def test_predict_classes_int8_serving_path(rng):
                                atol=1e-2 * float(jnp.max(d32)))
     np.testing.assert_allclose(np.asarray(q8), np.asarray(q32),
                                atol=2e-2 * float(jnp.max(q32)))
+
+
+def test_predict_classes_precomputed_sumsq(rng):
+    """x_sumsq: shipping the precomputed ||x||^2 reproduces the fused
+    path's own reduction (same f32 math, one fewer HBM pass)."""
+    x = make_class_spectra(rng, 80, 40).astype(np.float32)
+    classes = np.zeros(80, np.int32)
+    models = simca.fit_classes(jnp.asarray(x), classes, [0], 4)
+    x_new = make_class_spectra(rng, 50, 40, center_shift=0.5
+                               ).astype(np.float32)
+    a0, d0, t0, q0 = simca.predict_classes(models, jnp.asarray(x_new))
+    ss = np.sum(np.square(x_new), axis=1)
+    a1, d1, t1, q1 = simca.predict_classes(models, jnp.asarray(x_new),
+                                           x_sumsq=jnp.asarray(ss))
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
