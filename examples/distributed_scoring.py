@@ -80,15 +80,16 @@ def main(n_spectra=200_000, length=288, n_components=10):
     y_mc = np.repeat(np.arange(n_classes), 1024)
     stacked = fit_classes(x_mc, y_mc, list(range(n_classes)), n_components,
                           solver="rsvd")
-    mscorer = SIMCAScorer(stacked, chunk_size=x_big.shape[0],
-                          store_dtype=jnp.bfloat16)
-    mout = mscorer.score(x_big)        # warm
-    t0 = time.perf_counter()
-    mout = mscorer.score(x_big)
-    dtm = time.perf_counter() - t0
-    cs = x_big.shape[0] * n_classes / dtm
-    print(f"fused {n_classes}-class bf16 scorer: {cs / 1e6:.1f} M "
-          f"class-scores/s (accept shape {mout['accept'].shape})")
+    for tag, dt_store in (("bf16", jnp.bfloat16), ("int8", jnp.int8)):
+        mscorer = SIMCAScorer(stacked, chunk_size=x_big.shape[0],
+                              store_dtype=dt_store)
+        mout = mscorer.score(x_big)        # warm
+        t0 = time.perf_counter()
+        mout = mscorer.score(x_big)
+        dtm = time.perf_counter() - t0
+        cs = x_big.shape[0] * n_classes / dtm
+        print(f"fused {n_classes}-class {tag} scorer: {cs / 1e6:.1f} M "
+              f"class-scores/s (accept shape {mout['accept'].shape})")
 
 
 if __name__ == "__main__":

@@ -8,7 +8,7 @@ import re
 
 import pytest
 
-DOCS = ["docs/MIGRATION.md", "README.md", "docs/PARITY.md"]
+DOCS = ["docs/MIGRATION.md", "README.md", "docs/PARITY.md", "docs/API.md"]
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # dotted paths like ocm_tpu.models.simca.fit_simca / ocm_tpu.serving
