@@ -53,24 +53,42 @@ class _ChunkedScorer:
         else:
             self._fn = jax.jit(decide_fn)
 
+    def _preprocess(self, x: np.ndarray) -> np.ndarray:
+        """Whole-batch host prep before chunking (identity here;
+        SIMCAScorer centers / casts)."""
+        return x
+
     def _prepare_chunk(self, chunk: np.ndarray) -> tuple:
         """Host-side prep of one padded chunk into the decide fn's args
         (overridden by quantized-storage paths)."""
         return (jnp.asarray(chunk),)
 
-    def score(self, x) -> dict:
-        """Score an (N, L) array in fixed-shape chunks; returns a dict of
-        np arrays ('accept' plus the per-variant statistics)."""
-        x = np.asarray(x)
-        outs: list = []
+    def prepare(self, x) -> list:
+        """Ingest once, score many: run ALL host-side prep (centering,
+        quantization, row norms, device placement) and return the
+        prepared chunk list.  ``score_prepared`` then skips straight to
+        the compiled decide calls — for quantized stores the spectra
+        live on device at storage width and repeated screens (e.g. the
+        same frame against updated models) re-pay nothing."""
+        x = self._preprocess(np.asarray(x))
+        out = []
         for start in range(0, x.shape[0], self.chunk_size):
             chunk, n = _pad_chunk(x[start:start + self.chunk_size],
                                   self.chunk_size)
-            res = self._fn(*self._prepare_chunk(chunk))
-            outs.append(jax.tree.map(lambda a: np.asarray(a)[:n], res))
+            out.append((self._prepare_chunk(chunk), n))
+        return out
+
+    def score_prepared(self, prepared: list) -> dict:
+        outs = [jax.tree.map(lambda a: np.asarray(a)[:n], self._fn(*args))
+                for args, n in prepared]
         if not outs:
             return {}
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    def score(self, x) -> dict:
+        """Score an (N, L) array in fixed-shape chunks; returns a dict of
+        np arrays ('accept' plus the per-variant statistics)."""
+        return self.score_prepared(self.prepare(x))
 
     def score_stream(self, chunks: Iterable) -> Iterator[dict]:
         """Generator over an iterable of (n_i, L) arrays (e.g. HSI frames):
@@ -215,7 +233,7 @@ class SIMCAScorer(_ChunkedScorer):
             return jnp.asarray(chunk), jnp.asarray(x2)
         return super()._prepare_chunk(chunk)
 
-    def score(self, x) -> dict:
+    def _preprocess(self, x: np.ndarray) -> np.ndarray:
         if self._center is not None:
             # center in f32 on the host; with store_dtype=bf16/int8 the
             # residual ships at half/quarter width (shrinking the
@@ -225,7 +243,7 @@ class SIMCAScorer(_ChunkedScorer):
                 import ml_dtypes
 
                 x = x.astype(ml_dtypes.bfloat16)
-        return super().score(x)
+        return x
 
 
 class VAEScorer(_ChunkedScorer):

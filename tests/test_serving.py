@@ -320,3 +320,19 @@ def test_simca_scorer_multiclass_sharded_int8(stacked_models):
         out = SIMCAScorer(models, chunk_size=96, mesh=mesh,
                           store_dtype=dt).score(x)
         assert np.mean(out["accept"] == ref["accept"]) >= 0.995
+
+
+def test_prepare_score_prepared(stacked_models):
+    """prepare()/score_prepared(): ingest-once storage — repeated screens
+    of the prepared chunks equal score(x) bit-for-bit on every
+    store_dtype, and VAEScorer inherits the same contract."""
+    models, x = stacked_models
+    for dt in (None, jnp.bfloat16, jnp.int8):
+        scorer = SIMCAScorer(models, chunk_size=96, store_dtype=dt)
+        ref = scorer.score(x)
+        prepared = scorer.prepare(x)
+        for _ in range(2):
+            out = scorer.score_prepared(prepared)
+            np.testing.assert_array_equal(out["accept"], ref["accept"])
+            np.testing.assert_array_equal(out["dred"], ref["dred"])
+    assert scorer.score_prepared([]) == {}
