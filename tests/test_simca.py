@@ -502,3 +502,40 @@ def test_predict_classes_precomputed_sumsq(rng):
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q0),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+@pytest.mark.parametrize("dt_type", ["sim", "alt", "ci", "dd"])
+def test_predict_classes_int8_all_decision_types(rng, dt_type):
+    """int8 scoring across every combined-distance type: agreement >= 96%
+    on a deliberately hard overlapping-class geometry, and every flip is
+    CONFINED NEAR THE BOUNDARY (within 15% of the critical distance) —
+    the quarter-width mode's contract is boundary-band flips only, never
+    a systematic shift (the two-level operand fix killed the latter; the
+    dd/sim rows exercise the chi2pom dof factors and the max-combine,
+    which amplify the Q cancellation more than the default alt)."""
+    from ocm_tpu.ops.linalg import quantize_rows_int8
+
+    x = np.concatenate(
+        [make_class_spectra(rng, 60, 40, center_shift=s).astype(np.float32)
+         for s in (0.0, 1.0)])
+    classes = np.repeat([0, 1], 60)
+    t2m, qm = ("chi2pom", "chi2pom") if dt_type == "dd" else ("Fdist", "jm")
+    models = simca.fit_classes(jnp.asarray(x), classes, [0, 1], 4,
+                               t2_method=t2m, q_method=qm,
+                               decision_type=dt_type)
+    x_new = np.concatenate(
+        [make_class_spectra(rng, 50, 40, center_shift=s) for s in
+         (0.0, 1.0, 2.5)]).astype(np.float32)
+    a32, d32, _, _ = simca.predict_classes(models, jnp.asarray(x_new),
+                                           dt_type)
+    mu0 = np.asarray(jnp.mean(models.mean, axis=0), np.float32)
+    xq, xs_, x2 = quantize_rows_int8(x_new - mu0[None, :])
+    a8 = simca.predict_classes_int8(models, jnp.asarray(xq),
+                                    jnp.asarray(xs_), jnp.asarray(x2),
+                                    dt_type, x_offset=jnp.asarray(mu0))[0]
+    agree = np.mean(np.asarray(a8) == np.asarray(a32))
+    assert agree >= 0.96
+    d_lim = np.asarray(models.d_limit)
+    for c, n in np.argwhere(np.asarray(a8) != np.asarray(a32)):
+        margin = abs(np.asarray(d32)[c, n] - d_lim[c]) / d_lim[c]
+        assert margin <= 0.15, (dt_type, c, n, margin)
