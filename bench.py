@@ -135,14 +135,31 @@ def bench_cpu_reference(cals, xs, k=10, repeats=2):
 
 
 def main():
+    import os
+
     cals, xs = make_data()
     n_work = xs.shape[0] * len(cals)          # class-scores produced
-    if not wait_for_device():
+    force_cpu = os.environ.get("OCM_BENCH_FORCE_CPU") == "1"
+    if not force_cpu and not wait_for_device():
+        force_cpu = True
+    if force_cpu:
         # Last resort: the tunnel never came up.  Emit a real (CPU-backend)
-        # measurement rather than crashing with no artifact.
+        # measurement rather than crashing with no artifact; the JSON's
+        # "backend" field marks the downgrade.
         import jax
         jax.config.update("jax_platforms", "cpu")
-    tpu_t = bench_tpu(cals, xs)
+    try:
+        tpu_t = bench_tpu(cals, xs)
+    except RuntimeError:
+        if force_cpu:
+            raise
+        # The tunnel flapped between the probe and the run.  A failed
+        # backend init is cached for the life of the process, so fall
+        # back by RE-EXECING into a fresh CPU-forced process.
+        os.environ["OCM_BENCH_FORCE_CPU"] = "1"
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+    import jax
+    backend = jax.default_backend()
     cpu_t = bench_cpu_reference(cals, xs)
     value = n_work / tpu_t
     baseline = n_work / cpu_t
@@ -151,6 +168,7 @@ def main():
         "value": round(value, 1),
         "unit": "class-scores/s",
         "vs_baseline": round(value / baseline, 2),
+        "backend": backend,
     }))
 
 

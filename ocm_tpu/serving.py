@@ -69,7 +69,10 @@ class _ChunkedScorer:
         prepared chunk list.  ``score_prepared`` then skips straight to
         the compiled decide calls — for quantized stores the spectra
         live on device at storage width and repeated screens (e.g. the
-        same frame against updated models) re-pay nothing."""
+        same frame against updated models) re-pay nothing.  NOTE the
+        prepared chunks are ALL resident on device at once — for a
+        one-shot screen of a batch larger than HBM use ``score``, which
+        streams one chunk at a time."""
         x = self._preprocess(np.asarray(x))
         out = []
         for start in range(0, x.shape[0], self.chunk_size):
@@ -85,10 +88,55 @@ class _ChunkedScorer:
             return {}
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
-    def score(self, x) -> dict:
+    def score(self, x, prefetch: int = 1) -> dict:
         """Score an (N, L) array in fixed-shape chunks; returns a dict of
-        np arrays ('accept' plus the per-variant statistics)."""
-        return self.score_prepared(self.prepare(x))
+        np arrays ('accept' plus the per-variant statistics).
+
+        Streaming memory contract: device residency stays
+        O((1 + prefetch) * chunk_size) however large the batch (unlike
+        ``prepare``, which holds every chunk for repeated screens).
+
+        ``prefetch``: chunks of host prep (centering / quantization /
+        H2D placement) run on a worker thread WHILE the device crunches
+        the current chunk — the jitted dispatch is async, so the result
+        fetch of chunk i overlaps the preparation of chunk i+1 (the host
+        work is significant for the quantized-storage paths).  0 forces
+        the fully sequential loop."""
+        x = self._preprocess(np.asarray(x))
+        starts = list(range(0, x.shape[0], self.chunk_size))
+
+        def prep(start):
+            chunk, n = _pad_chunk(x[start:start + self.chunk_size],
+                                  self.chunk_size)
+            return self._prepare_chunk(chunk), n
+
+        outs: list = []
+        if prefetch <= 0 or len(starts) <= 1:
+            for start in starts:
+                args, n = prep(start)
+                res = self._fn(*args)
+                outs.append(jax.tree.map(lambda a: np.asarray(a)[:n], res))
+        else:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                it = iter(starts)
+                # range first: zip(it, range) would consume and DROP one
+                # extra start from the iterator when range exhausts
+                pending = deque(ex.submit(prep, s) for _, s in
+                                zip(range(1 + prefetch), it))
+                while pending:
+                    args, n = pending.popleft().result()
+                    res = self._fn(*args)       # async dispatch
+                    nxt = next(it, None)
+                    if nxt is not None:         # prep next BEFORE fetching
+                        pending.append(ex.submit(prep, nxt))
+                    outs.append(jax.tree.map(lambda a: np.asarray(a)[:n],
+                                             res))
+        if not outs:
+            return {}
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
     def score_stream(self, chunks: Iterable) -> Iterator[dict]:
         """Generator over an iterable of (n_i, L) arrays (e.g. HSI frames):

@@ -14,9 +14,12 @@ Usage: python scripts/probe_serving_dtypes.py [--small] [--inner N]
 """
 
 import argparse
-import time
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -34,23 +37,20 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     print("backend:", jax.default_backend(), flush=True)
 
+    from bench import make_data                 # the headline workload
     from ocm_tpu.models.simca import (fit_classes, predict_classes,
                                       predict_classes_int8)
     from ocm_tpu.ops.linalg import quantize_rows_int8
+    from ocm_tpu.utils.profiling import timeit
 
     n_cal, length, n_score = ((60, 40, 512) if args.small
                               else (700, 500, 98304))
     k = 4 if args.small else 10
-    rng = np.random.default_rng(0)
-    t = np.linspace(0, 1, length)
-    blocks = [(rng.normal(1, .08, (n_cal, 1)) * np.sin(2 * np.pi * (3 + c) * t)
-               + 0.3 * c + rng.normal(0, .02, (n_cal, length))
-               ).astype(np.float32) for c in range(3)]
-    x = np.concatenate(blocks)
+    cals, xs_np = make_data(n_cal=n_cal, length=length, n_score=n_score)
+    x = np.concatenate(cals).astype(np.float32)
     y = np.repeat(np.arange(3), n_cal)
     models = fit_classes(jnp.asarray(x), y, [0, 1, 2], k)
-    xs_np = (rng.normal(0, 1, (n_score, length))
-             + np.sin(2 * np.pi * 3 * t)[None, :]).astype(np.float32)
+    xs_np = xs_np.astype(np.float32)
 
     mu0 = np.asarray(jnp.mean(models.mean, axis=0), np.float32)
     xc_np = xs_np - mu0[None, :]
@@ -58,13 +58,10 @@ def main():
     inner, n_work = args.inner, 3 * n_score
 
     def timed(run_jit):
-        float(run_jit()[0])                     # warmup + fetch (lazy dispatch)
-        times = []
-        for _ in range(args.repeats):
-            t0 = time.perf_counter()
-            jax.block_until_ready(run_jit())
-            times.append(time.perf_counter() - t0)
-        return min(times) / inner
+        # utils.profiling.timeit owns the measurement discipline
+        # (fetch-forcing warmup for the lazy hosted-TPU dispatch,
+        # block_until_ready, best-of-N)
+        return timeit(run_jit, repeats=args.repeats)["best"] / inner
 
     def float_body(x0, x_offset, with_sumsq):
         x2 = jnp.sum(x0.astype(jnp.float32) ** 2, axis=-1)

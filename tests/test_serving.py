@@ -308,21 +308,21 @@ def test_simca_scorer_int8_raw_common_mode():
 
 
 def test_simca_scorer_multiclass_sharded_int8(stacked_models):
-    """Mesh-sharded multi-class serving with both quantized-storage
-    paths: the jit's single batch sharding broadcasts over the
-    (chunk, scale, sumsq) argument tuples."""
+    """Mesh-sharded multi-class serving at every storage width (f32,
+    bf16, int8): the jit's single batch sharding broadcasts over the
+    2-arg (chunk, sumsq) and 3-arg (chunk, scale, sumsq) tuples."""
     from ocm_tpu.parallel.mesh import make_mesh
 
     models, x = stacked_models
     mesh = make_mesh((8,), ("data",))
     ref = SIMCAScorer(models, chunk_size=96).score(x)
-    for dt in (None, jnp.int8):
+    for dt in (None, jnp.bfloat16, jnp.int8):
         out = SIMCAScorer(models, chunk_size=96, mesh=mesh,
                           store_dtype=dt).score(x)
         assert np.mean(out["accept"] == ref["accept"]) >= 0.995
 
 
-def test_prepare_score_prepared(stacked_models):
+def test_prepare_score_prepared(stacked_models, vae_bundle):
     """prepare()/score_prepared(): ingest-once storage — repeated screens
     of the prepared chunks equal score(x) bit-for-bit on every
     store_dtype, and VAEScorer inherits the same contract."""
@@ -336,3 +336,23 @@ def test_prepare_score_prepared(stacked_models):
             np.testing.assert_array_equal(out["accept"], ref["accept"])
             np.testing.assert_array_equal(out["dred"], ref["dred"])
     assert scorer.score_prepared([]) == {}
+
+    model, bundle, x_vae = vae_bundle
+    vs = VAEScorer(model, bundle, variant="d2", chunk_size=64)
+    ref = vs.score(x_vae)
+    out = vs.score_prepared(vs.prepare(x_vae))
+    np.testing.assert_array_equal(out["accept"], ref["accept"])
+
+
+def test_score_prefetch_equivalence(stacked_models):
+    """The prefetch pipeline (host prep of chunk i+1 overlapping chunk
+    i's device fetch) is bit-equal to the sequential loop at every
+    storage width and prefetch depth."""
+    models, x = stacked_models
+    for dt in (None, jnp.int8):
+        scorer = SIMCAScorer(models, chunk_size=64, store_dtype=dt)
+        ref = scorer.score(x, prefetch=0)
+        for pf in (1, 3):
+            out = scorer.score(x, prefetch=pf)
+            np.testing.assert_array_equal(out["accept"], ref["accept"])
+            np.testing.assert_array_equal(out["dred"], ref["dred"])
