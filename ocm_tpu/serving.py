@@ -189,7 +189,8 @@ class SIMCAScorer(_ChunkedScorer):
     """
 
     def __init__(self, model: SIMCAModel, decision_type: str = "alt",
-                 chunk_size: int = 8192, mesh=None, store_dtype=None):
+                 chunk_size: int = 8192, mesh=None, store_dtype=None,
+                 center=None):
         from ocm_tpu.models.simca import (predict_classes,
                                           predict_classes_int8)
 
@@ -197,7 +198,9 @@ class SIMCAScorer(_ChunkedScorer):
                 jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int8)):
             raise ValueError(
                 "store_dtype supports jnp.bfloat16 or jnp.int8")
-        self._center = None
+        if center is not None:
+            center = np.asarray(center, np.float32)
+        self._center = center
         self._store_dtype = store_dtype
         self._int8 = (store_dtype is not None
                       and jnp.dtype(store_dtype) == jnp.dtype(jnp.int8))
@@ -208,18 +211,19 @@ class SIMCAScorer(_ChunkedScorer):
             # HALF the bf16 path's bytes through an exact-accumulation
             # int8 GEMM and skips the second ||x||^2 pass (shipped
             # precomputed).  Single-class models score through the same
-            # stacked op with the mean folded into the host centering.
-            if np.ndim(model.mean) == 2:
-                self._center = np.mean(np.asarray(model.mean, np.float32),
-                                       axis=0)
-                x_offset = jnp.asarray(self._center)
+            # stacked op; the offset folds into the class means either
+            # way, so any pinned ``center`` works.
+            if self._multiclass:
+                if self._center is None:
+                    self._center = np.mean(
+                        np.asarray(model.mean, np.float32), axis=0)
                 squeeze = False
             else:
-                self._center = np.asarray(model.mean, np.float32)
+                if self._center is None:
+                    self._center = np.asarray(model.mean, np.float32)
                 model = jax.tree.map(lambda a: jnp.asarray(a)[None], model)
-                model = model._replace(mean=jnp.zeros_like(model.mean))
-                x_offset = None
                 squeeze = True
+            x_offset = jnp.asarray(self._center)
 
             def decide(xq, xs, x2):
                 accept, dred, t2, q = predict_classes_int8(
@@ -232,7 +236,7 @@ class SIMCAScorer(_ChunkedScorer):
 
             super().__init__(decide, chunk_size, mesh)
             return
-        if np.ndim(model.mean) == 2:             # stacked multi-class model
+        if self._multiclass:                     # stacked multi-class model
             # ALWAYS pre-center on the host against the shared
             # mean-of-class-means offset (it folds into the class means
             # algebraically).  The fused Q expansion carries
@@ -242,8 +246,9 @@ class SIMCAScorer(_ChunkedScorer):
             # (which center before squaring); centering the chunk makes
             # the f32 path exact too, and with store_dtype=bf16 the
             # residual additionally ships at half width.
-            self._center = np.mean(np.asarray(model.mean, np.float32),
-                                   axis=0)
+            if self._center is None:
+                self._center = np.mean(np.asarray(model.mean, np.float32),
+                                       axis=0)
             x_offset = jnp.asarray(self._center)
 
             def decide(xc, x2):
@@ -259,10 +264,13 @@ class SIMCAScorer(_ChunkedScorer):
                         "t2": t2.T, "q": q.T}
         else:
             scoring_model = model
-            if store_dtype is not None:
+            if store_dtype is not None and self._center is None:
                 self._center = np.asarray(model.mean, np.float32)
+            if self._center is not None:
+                # chunks arrive as residuals vs center; shift the model
+                # mean accordingly (exact when center == mean: zero)
                 scoring_model = model._replace(
-                    mean=jnp.zeros_like(model.mean))
+                    mean=model.mean - jnp.asarray(self._center))
 
             def decide(xc):
                 accept, dred, t2, q = simca_decide(scoring_model, xc,
@@ -270,6 +278,16 @@ class SIMCAScorer(_ChunkedScorer):
                 return {"accept": accept, "dred": dred, "t2": t2, "q": q}
 
         super().__init__(decide, chunk_size, mesh)
+
+    @property
+    def center(self):
+        """The f32 offset chunks are centered against (None = the raw
+        single-class f32 path).  To RE-SCREEN chunks prepared by this
+        scorer against updated models, build the new scorer with
+        ``center=old.center`` (same store_dtype/chunk_size) — the offset
+        folds into the new class means algebraically, so stored residuals
+        never need re-centering or re-quantizing."""
+        return self._center
 
     def _prepare_chunk(self, chunk: np.ndarray) -> tuple:
         if self._int8:

@@ -356,3 +356,41 @@ def test_score_prefetch_equivalence(stacked_models):
             out = scorer.score(x, prefetch=pf)
             np.testing.assert_array_equal(out["accept"], ref["accept"])
             np.testing.assert_array_equal(out["dred"], ref["dred"])
+
+
+def test_rescreen_prepared_with_updated_models(stacked_models):
+    """The ingest-once workflow across model updates: chunks prepared by
+    one scorer re-screen against UPDATED models via center= pinning —
+    equal to scoring the raw spectra with the new models directly."""
+    from ocm_tpu.models.simca import fit_classes, fit_simca
+
+    models, x = stacked_models
+    rng = np.random.default_rng(17)
+    x_new = make_class_spectra(rng, 190, 48, center_shift=0.3
+                               ).astype(np.float32)
+    # updated models: different k, refit on a perturbed calibration set
+    x2 = x + rng.normal(0, 0.01, x.shape).astype(np.float32)
+    y = np.repeat(np.arange(3), 80)
+    updated = fit_classes(x2, y, [0, 1, 2], 7)
+
+    for dt in (None, jnp.int8):
+        old = SIMCAScorer(models, chunk_size=64, store_dtype=dt)
+        prepared = old.prepare(x_new)
+        renew = SIMCAScorer(updated, chunk_size=64, store_dtype=dt,
+                            center=old.center)
+        out = renew.score_prepared(prepared)
+        ref = SIMCAScorer(updated, chunk_size=64, store_dtype=dt).score(x_new)
+        # same storage width, different center -> near-equal decisions
+        # (int8 re-quantizes vs a slightly different offset in ref)
+        agree = np.mean(out["accept"] == ref["accept"])
+        assert agree >= (1.0 if dt is None else 0.995), agree
+
+    # single-class pinned center (f32 path, center != model mean)
+    m0 = jax.tree.map(lambda a: a[0], models)
+    mu = np.asarray(jnp.mean(models.mean, axis=0), np.float32)
+    s_pin = SIMCAScorer(m0, chunk_size=64, center=mu)
+    ref = SIMCAScorer(m0, chunk_size=64).score(x_new)
+    out = s_pin.score(x_new)
+    np.testing.assert_array_equal(out["accept"], ref["accept"])
+    np.testing.assert_allclose(out["dred"], ref["dred"], rtol=1e-4,
+                               atol=1e-5)
