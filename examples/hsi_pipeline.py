@@ -113,6 +113,19 @@ def main(size=256, n_cubes=4, length=288, n_components=10,
     anom_rate = float(np.mean(accepts[-1]))
     print(f"pixel accept rate: target cubes {tgt_rate:.3f}, anomaly cube "
           f"{anom_rate:.3f}")
+
+    # --- 6. quantized-storage twin: int8 residuals, quarter the bytes ----
+    scorer8 = SIMCAScorer(model, chunk_size=chunk_size,
+                          store_dtype=jnp.int8)
+    scorer8.score(np.asarray(prep(cubes[0].reshape(-1, length)))
+                  [:chunk_size])
+    t0 = time.perf_counter()
+    accepts8 = [r["accept"] for r in scorer8.score_stream(frames())]
+    timings["score_int8"] = time.perf_counter() - t0
+    agree = float(np.mean(np.concatenate(accepts8)
+                          == np.concatenate(accepts)))
+    print(f"int8 twin: {total_scored / timings['score_int8'] / 1e6:.2f} M "
+          f"spectra/s, decision agreement {agree:.4f}")
     print("timings:", {k: round(v, 2) for k, v in timings.items()})
     return timings
 
