@@ -305,22 +305,67 @@ class MaskedPCA(NamedTuple):
     max_rank: jnp.ndarray      # min(n, L): valid eigenvalue slots
 
 
-def masked_pca_eig(x, w) -> MaskedPCA:
+def masked_pca_eig(x, w, side: str = "auto") -> MaskedPCA:
     """Eigendecomposition of the masked covariance (rows with w == 0 are
     excluded).  Identical spectrum to the SVD of the masked centered data;
-    the batched eigh maps better onto the MXU than batched SVD."""
+    the batched eigh maps better onto the MXU than batched SVD.
+
+    ``side`` picks which Gram matrix is decomposed — the exact dense
+    solve exists on BOTH sides of ``xc``:
+
+    - ``'cov'``: eigh of the (L, L) covariance (loadings directly);
+    - ``'gram'``: eigh of the (N, N) sample Gram; loadings recovered as
+      ``xc^T u_i / sqrt((n-1) lambda_i)`` (unit-norm by construction,
+      since ``||xc^T u_i||^2 = (n-1) lambda_i`` exactly).  Identical
+      spectrum (plus exact zeros beyond rank), same sklearn sign
+      convention, columns truncated to min(N, L).
+    - ``'auto'`` (default): whichever side is SMALLER — the dense eigh
+      lowers to QDWH while-loop chains cubic in the matrix side (the
+      decomposition cliff, docs/BENCHMARKS.md), so long-spectrum fits
+      (SWIR L=2000, n~10^3) decompose the (N, N) side ~ (L/N)^3 cheaper
+      with bit-comparable results (tests/test_simca.py gram parity).
+
+    Downstream code is column-count-agnostic (the rsvd path already
+    returns (L, s) loadings); ``residual_thetas`` masks by ``max_rank``,
+    so the missing exact-zero eigenvalues beyond min(N, L) never enter
+    any statistic.
+    """
+    if side not in ("auto", "cov", "gram"):
+        raise ValueError(f"unknown side {side!r}; expected"
+                         " 'auto', 'cov' or 'gram'")
     w = w.astype(x.dtype)
     n = jnp.sum(w)
     mean = jnp.sum(x * w[:, None], axis=0) / n
     xc = (x - mean[None, :]) * w[:, None]
+    max_rank = jnp.minimum(n, x.shape[1]).astype(jnp.int32)
+    if side == "auto":
+        side = "gram" if x.shape[0] < x.shape[1] else "cov"
     # full f32 matmul precision: the TPU MXU's default bf16-mantissa passes
     # perturb the covariance at ~4e-3 relative, visibly shifting the
     # residual eigenvalue moments and hence the theta-based Q limits
+    if side == "cov":
+        with jax.default_matmul_precision("highest"):
+            c = (xc.T @ xc) / (n - 1.0)
+        eigenvalues, eigvec = eigh_desc_signed(c)
+        return MaskedPCA(mean, eigvec, eigenvalues, n, max_rank)
     with jax.default_matmul_precision("highest"):
-        c = (xc.T @ xc) / (n - 1.0)
-    eigenvalues, eigvec = eigh_desc_signed(c)
-    max_rank = jnp.minimum(n, x.shape[1]).astype(jnp.int32)
-    return MaskedPCA(mean, eigvec, eigenvalues, n, max_rank)
+        g = (xc @ xc.T) / (n - 1.0)
+        gvals, gvecs = jnp.linalg.eigh(g)
+        gvals = jnp.maximum(gvals[::-1], 0.0)
+        gvecs = gvecs[:, ::-1]
+        # ||xc^T u_i|| = sqrt((n-1) lambda_i) exactly, so the division is
+        # self-normalizing even deep in the noise floor; only flushed
+        # exact-zero eigenvalues hit the floor and zero the column
+        denom = jnp.sqrt(jnp.maximum(gvals * (n - 1.0),
+                                     jnp.finfo(x.dtype).tiny))
+        v = (xc.T @ gvecs) / denom[None, :]
+    v = jnp.where(gvals[None, :] > 0.0, v, 0.0)
+    # sklearn sign convention — the same rule as eigh_desc_signed
+    max_abs_idx = jnp.argmax(jnp.abs(v), axis=0)
+    signs = jnp.sign(v[max_abs_idx, jnp.arange(v.shape[1])])
+    v = v * jnp.where(signs == 0, 1.0, signs)[None, :]
+    k = min(x.shape[0], x.shape[1])
+    return MaskedPCA(mean, v[:, :k], gvals[:k], n, max_rank)
 
 
 def masked_percentile(v, w, n, cl: float):

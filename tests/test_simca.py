@@ -539,3 +539,50 @@ def test_predict_classes_int8_all_decision_types(rng, dt_type):
     for c, n in np.argwhere(np.asarray(a8) != np.asarray(a32)):
         margin = abs(np.asarray(d32)[c, n] - d_lim[c]) / d_lim[c]
         assert margin <= 0.15, (dt_type, c, n, margin)
+
+
+def test_masked_pca_gram_side_parity(rng):
+    """The Gram-side masked dense solve (N < L regime: eigh of the (N, N)
+    sample Gram, loadings recovered from scores) equals the
+    covariance-side solve AND an independent NumPy SVD oracle of the
+    masked centered rows: same spectrum, same sklearn-signed loadings,
+    same scores."""
+    n, L = 48, 120
+    x = make_class_spectra(rng, n, L).astype(np.float64)
+    w = np.ones(n); w[40:] = 0.0               # mask 8 rows
+    g = simca.masked_pca_eig(jnp.asarray(x), jnp.asarray(w), side="gram")
+    c = simca.masked_pca_eig(jnp.asarray(x), jnp.asarray(w), side="cov")
+    r = 39                                     # centered rank = n_eff - 1
+    np.testing.assert_allclose(np.asarray(g.eigenvalues[:r]),
+                               np.asarray(c.eigenvalues[:r]),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g.eigvec[:, :10]),
+                               np.asarray(c.eigvec[:, :10]),
+                               rtol=1e-7, atol=1e-9)
+    # independent oracle: numpy SVD of the masked centered train rows
+    rows = x[w > 0]
+    xc = rows - rows.mean(axis=0)
+    _, s, vt = np.linalg.svd(xc, full_matrices=False)
+    np.testing.assert_allclose(np.asarray(g.eigenvalues[:r]),
+                               (s * s / (w.sum() - 1.0))[:r], rtol=1e-9)
+    v_oracle = vt[:10]
+    flip = np.sign(v_oracle[np.arange(10),
+                            np.argmax(np.abs(v_oracle), axis=1)])
+    np.testing.assert_allclose(np.asarray(g.eigvec[:, :10].T),
+                               v_oracle * flip[:, None], rtol=1e-7,
+                               atol=1e-9)
+    # default side picks gram here (N < L); the full masked fit must
+    # match the INDEPENDENT oracle fitted on the unmasked subset rows
+    assert g.eigvec.shape == (L, n)
+    m_auto = simca.fit_simca_masked(jnp.asarray(x), jnp.asarray(w), 6)
+    oracle = SimcaOracle("alt", "Fdist", "jm").fit(rows, 6)
+    assert float(m_auto.t2_res.limit) == pytest.approx(oracle.t2_limit,
+                                                       rel=1e-7)
+    assert float(m_auto.q_res.limit) == pytest.approx(oracle.q_limit,
+                                                      rel=1e-7)
+    x_new = make_class_spectra(rng, 64, L, center_shift=0.4
+                               ).astype(np.float64)
+    want_acc, want_dred, _, _ = oracle.decide(x_new)
+    a1, d1, _, _ = simca.simca_decide(m_auto, jnp.asarray(x_new))
+    np.testing.assert_allclose(np.asarray(d1), want_dred, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a1), want_acc)
