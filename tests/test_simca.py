@@ -586,3 +586,21 @@ def test_masked_pca_gram_side_parity(rng):
     a1, d1, _, _ = simca.simca_decide(m_auto, jnp.asarray(x_new))
     np.testing.assert_allclose(np.asarray(d1), want_dred, rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(a1), want_acc)
+
+
+def test_fit_classes_gram_side_under_vmap(rng):
+    """fit_classes on N < L data routes the vmapped masked fit through
+    the Gram-side dense solve; decisions equal per-class svd fits."""
+    x = np.concatenate(
+        [make_class_spectra(rng, 30, 100, center_shift=s).astype(np.float32)
+         for s in (0.0, 0.9)])
+    y = np.repeat([0, 1], 30)
+    models = simca.fit_classes(x, y, [0, 1], 4)
+    a, d, _, _ = simca.predict_classes(models, jnp.asarray(x))
+    assert bool(jnp.all(jnp.isfinite(d)))
+    for c in range(2):
+        single = simca.fit_simca(jnp.asarray(x[y == c]), 4)
+        a1, d1, *_ = simca.simca_decide(single, jnp.asarray(x))
+        np.testing.assert_array_equal(np.asarray(a[c]), np.asarray(a1))
+        np.testing.assert_allclose(np.asarray(d[c]), np.asarray(d1),
+                                   rtol=5e-3)
