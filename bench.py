@@ -155,7 +155,14 @@ def main():
             raise
         # The tunnel flapped between the probe and the run.  A failed
         # backend init is cached for the life of the process, so fall
-        # back by RE-EXECING into a fresh CPU-forced process.
+        # back by RE-EXECING into a fresh CPU-forced process.  Print the
+        # original error first: if this was a REAL device-side failure
+        # (not an outage) the trace must not vanish into the fallback.
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print("bench.py: TPU run failed; re-execing with the CPU backend",
+              file=sys.stderr)
         os.environ["OCM_BENCH_FORCE_CPU"] = "1"
         os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
     import jax

@@ -215,7 +215,7 @@ def _lv_metrics(pca: MaskedPCA, thetas, t_train, t_all, xc2_train, xc2_all,
 
 
 def fold_decomposition(x, w_train_b, solver: str, n_sub: int,
-                       subspace_iters: int):
+                       subspace_iters: int, side: str = "auto"):
     """THE per-fold decomposition (round-2 single-sourcing): masked mean +
     covariance + eigenpairs + per-LV residual-moment closure.
 
@@ -242,7 +242,7 @@ def fold_decomposition(x, w_train_b, solver: str, n_sub: int,
         tab = deflated_theta_tables(c, vals, vecs)
         thetas_of = lambda k: thetas_from_tables(tab, k)
     else:
-        pca = masked_pca_eig(x, w_train_b)
+        pca = masked_pca_eig(x, w_train_b, side=side)
         thetas_of = lambda k: L.residual_thetas(
             pca.eigenvalues, k, max_rank=pca.max_rank)
     return pca, thetas_of
@@ -250,12 +250,12 @@ def fold_decomposition(x, w_train_b, solver: str, n_sub: int,
 
 def fold_lv_sweep(x, w_train_b, held_b, other_m, lvs, *, solver, n_sub,
                   subspace_iters, decision_type, t2_method, q_method,
-                  t2_cl, q_cl, d_cl):
+                  t2_cl, q_cl, d_cl, side: str = "auto"):
     """One fold's full LV sweep: one decomposition + one scores GEMM +
     vmapped per-LV metrics.  The single implementation behind both the
     local and the 1-D sharded CV sweeps (round-2 VERDICT weak #3)."""
     pca, thetas_of = fold_decomposition(x, w_train_b, solver, n_sub,
-                                        subspace_iters)
+                                        subspace_iters, side=side)
     w = w_train_b.astype(x.dtype)
     xc = x - pca.mean[None, :]
     with jax.default_matmul_precision("highest"):
@@ -303,7 +303,8 @@ def cv_simca_sweep(x, y, cls_label, lv_values: Sequence[int],
                    d_cl: float = 0.95, shuffle: bool = False,
                    random_state: Optional[int] = None,
                    convert: bool = True, solver: str = "eigh",
-                   oversample: int = 10, subspace_iters: int = 4):
+                   oversample: int = 10, subspace_iters: int = 4,
+                   side: str = "auto"):
     """All (fold x LV) fits of one preprocessing combo in one jitted program.
 
     Returns dict with per-LV aggregates matching utils/CVSIMCA.py:203-208:
@@ -337,7 +338,7 @@ def cv_simca_sweep(x, y, cls_label, lv_values: Sequence[int],
                         decision_type=decision_type, t2_method=t2_method,
                         q_method=q_method, t2_cl=t2_cl, q_cl=q_cl,
                         d_cl=d_cl, solver=solver, n_sub=n_sub,
-                        subspace_iters=subspace_iters)
+                        subspace_iters=subspace_iters, side=side)
     if not convert:
         # leave results on device (callers composing further device work,
         # or environments where per-array D2H round trips dominate)
@@ -347,10 +348,10 @@ def cv_simca_sweep(x, y, cls_label, lv_values: Sequence[int],
 
 @functools.partial(jax.jit, static_argnames=(
     "decision_type", "t2_method", "q_method", "t2_cl", "q_cl", "d_cl",
-    "solver", "n_sub", "subspace_iters"))
+    "solver", "n_sub", "subspace_iters", "side"))
 def _cv_sweep_jit(x, train_m, held_m, other_m, lvs, *, decision_type,
                   t2_method, q_method, t2_cl, q_cl, d_cl, solver="eigh",
-                  n_sub=0, subspace_iters=4):
+                  n_sub=0, subspace_iters=4, side="auto"):
     """Cached compiled (fold x LV) solve — module-level jit so repeated
     sweeps (grid combos, benchmarks) reuse the compilation."""
 
@@ -359,7 +360,7 @@ def _cv_sweep_jit(x, train_m, held_m, other_m, lvs, *, decision_type,
             x, w_train_b, held_b, other_m, lvs, solver=solver, n_sub=n_sub,
             subspace_iters=subspace_iters, decision_type=decision_type,
             t2_method=t2_method, q_method=q_method, t2_cl=t2_cl, q_cl=q_cl,
-            d_cl=d_cl)
+            d_cl=d_cl, side=side)
 
     accept, sens, spec = jax.vmap(per_fold)(train_m, held_m)
     # accept: (F, L, N); spec/sens: (F, L)
@@ -374,7 +375,8 @@ def cv_simca_sweep_multiclass(x, y, class_labels, lv_values: Sequence[int],
                               d_cl: float = 0.95, shuffle: bool = False,
                               random_state: Optional[int] = None,
                               solver: str = "eigh", oversample: int = 10,
-                              subspace_iters: int = 4) -> dict:
+                              subspace_iters: int = 4,
+                              side: str = "auto") -> dict:
     """Every class's full (fold x LV) CV sweep in ONE jitted program.
 
     The reference runs its CV per target class from the driver loop
@@ -411,23 +413,25 @@ def cv_simca_sweep_multiclass(x, y, class_labels, lv_values: Sequence[int],
         jnp.asarray(np.stack(others)), lvs, decision_type=decision_type,
         t2_method=t2_method, q_method=q_method, t2_cl=t2_cl, q_cl=q_cl,
         d_cl=d_cl, solver=solver, n_sub=n_sub,
-        subspace_iters=subspace_iters)
+        subspace_iters=subspace_iters, side=side)
     return jax.tree.map(np.asarray, out)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "decision_type", "t2_method", "q_method", "t2_cl", "q_cl", "d_cl",
-    "solver", "n_sub", "subspace_iters"))
+    "solver", "n_sub", "subspace_iters", "side"))
 def _cv_sweep_multiclass_jit(x, train_m, held_m, other_m, lvs, *,
                              decision_type, t2_method, q_method, t2_cl,
-                             q_cl, d_cl, solver, n_sub, subspace_iters):
+                             q_cl, d_cl, solver, n_sub, subspace_iters,
+                             side="auto"):
     def per_class(train_c, held_c, other_c):
         def per_fold(w_train_b, held_b):
             return fold_lv_sweep(
                 x, w_train_b, held_b, other_c, lvs, solver=solver,
                 n_sub=n_sub, subspace_iters=subspace_iters,
                 decision_type=decision_type, t2_method=t2_method,
-                q_method=q_method, t2_cl=t2_cl, q_cl=q_cl, d_cl=d_cl)
+                q_method=q_method, t2_cl=t2_cl, q_cl=q_cl, d_cl=d_cl,
+                side=side)
 
         accept, sens, spec = jax.vmap(per_fold)(train_c, held_c)
         return pooled_aggregate(accept, spec, held_c, other_c, x.dtype)

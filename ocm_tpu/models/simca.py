@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ocm_tpu.ops.linalg import (cov, deflated_thetas, eigh_desc_signed,
-                                pca_fit, pca_topk_cov, pinv_psd, t2_q_scores)
+                                pca_fit, pca_topk_cov, pinv_psd,
+                                sign_columns, t2_q_scores)
 from ocm_tpu.stats import limits as L
 from ocm_tpu.stats.metrics import conformity_metrics
 
@@ -299,8 +300,11 @@ class MaskedPCA(NamedTuple):
     """
 
     mean: jnp.ndarray          # (L,)
-    eigvec: jnp.ndarray        # (L, L) columns = loadings, sklearn signs
-    eigenvalues: jnp.ndarray   # (L,) descending, clipped at 0
+    eigvec: jnp.ndarray        # (L, m) columns = loadings, sklearn signs;
+    #                            m = L (cov side), min(N, L) (gram side),
+    #                            or the subspace width s (rsvd) — consumers
+    #                            must index columns only up to max_rank
+    eigenvalues: jnp.ndarray   # (m,) descending, clipped at 0
     n: jnp.ndarray             # effective sample count sum(w)
     max_rank: jnp.ndarray      # min(n, L): valid eigenvalue slots
 
@@ -354,16 +358,21 @@ def masked_pca_eig(x, w, side: str = "auto") -> MaskedPCA:
         gvals = jnp.maximum(gvals[::-1], 0.0)
         gvecs = gvecs[:, ::-1]
         # ||xc^T u_i|| = sqrt((n-1) lambda_i) exactly, so the division is
-        # self-normalizing even deep in the noise floor; only flushed
-        # exact-zero eigenvalues hit the floor and zero the column
+        # self-normalizing for any eigenvalue RESOLVED above roundoff.
         denom = jnp.sqrt(jnp.maximum(gvals * (n - 1.0),
                                      jnp.finfo(x.dtype).tiny))
         v = (xc.T @ gvecs) / denom[None, :]
-    v = jnp.where(gvals[None, :] > 0.0, v, 0.0)
-    # sklearn sign convention — the same rule as eigh_desc_signed
-    max_abs_idx = jnp.argmax(jnp.abs(v), axis=0)
-    signs = jnp.sign(v[max_abs_idx, jnp.arange(v.shape[1])])
-    v = v * jnp.where(signs == 0, 1.0, signs)[None, :]
+    # Degenerate directions (centering null space, duplicate rows,
+    # constant channels) come back as lambda ~ +-eps*lambda_max, NOT
+    # exact zeros: dividing rounding noise by a roundoff denominator
+    # yields a junk non-orthonormal column whose score could inject up
+    # to lambda_max into Q.  Zero those columns — the cov-side eigh's
+    # orthonormal null-space vectors contribute ~0 score there, and
+    # zeroing reproduces that bound (tests/test_simca.py degenerate
+    # parity).  Eigenvalues are reported unclipped, like the cov side.
+    cut = gvals[0] * 16.0 * jnp.finfo(x.dtype).eps
+    v = jnp.where(gvals[None, :] > cut, v, 0.0)
+    v = sign_columns(v)
     k = min(x.shape[0], x.shape[1])
     return MaskedPCA(mean, v[:, :k], gvals[:k], n, max_rank)
 

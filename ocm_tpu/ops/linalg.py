@@ -72,6 +72,16 @@ def pca_fit(x, dtype=None) -> PCAFit:
     return PCAFit(mean=mean, components=vt, scores=scores, eigenvalues=eigenvalues)
 
 
+def sign_columns(v):
+    """sklearn's deterministic sign convention: each column's max-abs
+    entry made positive (``svd_flip`` on loadings).  THE single source —
+    used by the dense eigh, the gram-side recovery, and the randomized
+    extraction, which must agree sign-for-sign."""
+    max_abs_idx = jnp.argmax(jnp.abs(v), axis=0)
+    signs = jnp.sign(v[max_abs_idx, jnp.arange(v.shape[1])])
+    return v * jnp.where(signs == 0, 1.0, signs)[None, :]
+
+
 def eigh_desc_signed(c):
     """Dense eigendecomposition of a symmetric PSD matrix, descending,
     clipped at zero, with sklearn's sign convention (max-abs entry of each
@@ -84,11 +94,7 @@ def eigh_desc_signed(c):
     """
     eigval, eigvec = jnp.linalg.eigh(c)
     eigval = jnp.maximum(eigval[::-1], 0.0)
-    eigvec = eigvec[:, ::-1]
-    max_abs_idx = jnp.argmax(jnp.abs(eigvec), axis=0)
-    signs = jnp.sign(eigvec[max_abs_idx, jnp.arange(eigvec.shape[1])])
-    eigvec = eigvec * jnp.where(signs == 0, 1.0, signs)[None, :]
-    return eigval, eigvec
+    return eigval, sign_columns(eigvec[:, ::-1])
 
 
 def pinv_psd(a, rcond: float = 1e-15):
@@ -187,10 +193,7 @@ def pca_topk_cov(c, n_vectors: int, iters: int = 4, seed: int = 7):
         vecs = q @ v[:, ::-1]
     # sklearn svd_flip sign convention (column-based here: vecs columns are
     # loadings) so rsvd and svd fits agree on well-separated components
-    max_abs_idx = jnp.argmax(jnp.abs(vecs), axis=0)
-    signs = jnp.sign(vecs[max_abs_idx, jnp.arange(vecs.shape[1])])
-    signs = jnp.where(signs == 0, 1.0, signs)
-    return w, vecs * signs[None, :]
+    return w, sign_columns(vecs)
 
 
 def deflated_thetas(c, eigenvalues, eigvecs, n_components):

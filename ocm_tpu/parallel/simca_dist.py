@@ -149,7 +149,7 @@ def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
                      q_method: str = "jm", t2_cl: float = 0.95,
                      q_cl: float = 0.95, d_cl: float = 0.95,
                      solver: str = "eigh", oversample: int = 10,
-                     subspace_iters: int = 4):
+                     subspace_iters: int = 4, side: str = "auto"):
     """CV fold axis sharded over the mesh: distinct fold fits on distinct
     chips (embarrassingly parallel — the 'model' axis of SURVEY.md 5.8).
 
@@ -189,7 +189,7 @@ def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
             x, w_train_b, held_b, other_m, lvs, solver=solver, n_sub=n_sub,
             subspace_iters=subspace_iters, decision_type=decision_type,
             t2_method=t2_method, q_method=q_method, t2_cl=t2_cl, q_cl=q_cl,
-            d_cl=d_cl)
+            d_cl=d_cl, side=side)
 
     folds_sharding = NamedSharding(mesh, P(model_axis))
     run = jax.jit(jax.vmap(per_fold),
@@ -213,7 +213,8 @@ def cv_sweep_sharded_multiclass(x, y, class_labels, lv_values, mesh: Mesh,
                                 q_method: str = "jm", t2_cl: float = 0.95,
                                 q_cl: float = 0.95, d_cl: float = 0.95,
                                 solver: str = "eigh", oversample: int = 10,
-                                subspace_iters: int = 4):
+                                subspace_iters: int = 4,
+                                side: str = "auto"):
     """EVERY class's CV sweep with the flattened (class x fold) axis
     sharded over ``mesh[model_axis]``.
 
@@ -259,7 +260,7 @@ def cv_sweep_sharded_multiclass(x, y, class_labels, lv_values, mesh: Mesh,
             x, w_train_b, held_b, other_b, lvs, solver=solver, n_sub=n_sub,
             subspace_iters=subspace_iters, decision_type=decision_type,
             t2_method=t2_method, q_method=q_method, t2_cl=t2_cl, q_cl=q_cl,
-            d_cl=d_cl)
+            d_cl=d_cl, side=side)
 
     sh = NamedSharding(mesh, P(model_axis))
     run = jax.jit(jax.vmap(per_unit), in_shardings=(sh, sh, sh),

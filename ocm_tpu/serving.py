@@ -93,15 +93,17 @@ class _ChunkedScorer:
         np arrays ('accept' plus the per-variant statistics).
 
         Streaming memory contract: device residency stays
-        O((1 + prefetch) * chunk_size) however large the batch (unlike
-        ``prepare``, which holds every chunk for repeated screens).
+        O((2 + prefetch) * chunk_size) however large the batch — the
+        in-flight chunk plus the ``1 + prefetch`` prepared ones — unlike
+        ``prepare``, which holds every chunk for repeated screens.
 
         ``prefetch``: chunks of host prep (centering / quantization /
         H2D placement) run on a worker thread WHILE the device crunches
         the current chunk — the jitted dispatch is async, so the result
         fetch of chunk i overlaps the preparation of chunk i+1 (the host
         work is significant for the quantized-storage paths).  0 forces
-        the fully sequential loop."""
+        the fully sequential loop.  Single-chunk batches (the common
+        score_stream frame) never spawn the worker thread."""
         x = self._preprocess(np.asarray(x))
         starts = list(range(0, x.shape[0], self.chunk_size))
 
@@ -200,6 +202,12 @@ class SIMCAScorer(_ChunkedScorer):
                 "store_dtype supports jnp.bfloat16 or jnp.int8")
         if center is not None:
             center = np.asarray(center, np.float32)
+            length = np.shape(model.mean)[-1]
+            if center.shape != (length,):
+                raise ValueError(
+                    f"center must be a ({length},) spectrum (got shape "
+                    f"{center.shape}); for re-screening pass the previous "
+                    "scorer's .center")
         self._center = center
         self._store_dtype = store_dtype
         self._int8 = (store_dtype is not None

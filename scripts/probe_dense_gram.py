@@ -10,7 +10,6 @@ Usage: python scripts/probe_dense_gram.py [--small]
 """
 
 import argparse
-import functools
 import os
 import sys
 import time
@@ -20,8 +19,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_sweep(cv_mod, x, y, lvs):
-    out = cv_mod.cv_simca_sweep(x, y, 0, lv_values=lvs, n_splits=5)
+def run_sweep(cv_mod, x, y, lvs, side):
+    out = cv_mod.cv_simca_sweep(x, y, 0, lv_values=lvs, n_splits=5,
+                                side=side)
     return float(np.sum(out["eff"]))
 
 
@@ -38,7 +38,6 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
 
     import ocm_tpu.models.cv as cv_mod
-    from ocm_tpu.models.simca import masked_pca_eig
 
     n, L = (120, 200) if args.small else (1200, 2000)
     lvs = range(1, 5) if args.small else range(1, 15)
@@ -53,23 +52,16 @@ def main():
     y = np.repeat([0, 1], [n * 2 // 3, n - n * 2 // 3])
 
     results = {}
-    for tag, side in (("gram (auto)", None), ("cov (forced)", "cov")):
-        if side is not None:
-            cv_mod.masked_pca_eig = functools.partial(masked_pca_eig,
-                                                      side=side)
-        else:
-            cv_mod.masked_pca_eig = masked_pca_eig
-        cv_mod._cv_sweep_jit.clear_cache()
-        val = run_sweep(cv_mod, x, y, lvs)     # compile + fetch
+    for tag, side in (("gram (auto)", "auto"), ("cov (forced)", "cov")):
+        val = run_sweep(cv_mod, x, y, lvs, side)    # compile + fetch
         times = []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            v = run_sweep(cv_mod, x, y, lvs)
+            v = run_sweep(cv_mod, x, y, lvs, side)
             times.append(time.perf_counter() - t0)
         results[tag] = (min(times), v)
         print(f"{tag:14s}: {min(times)*1e3:8.1f} ms/sweep "
               f"(sum eff {v:.6f})", flush=True)
-    cv_mod.masked_pca_eig = masked_pca_eig
     g, c = results["gram (auto)"], results["cov (forced)"]
     print(f"speedup {c[0]/g[0]:.2f}x; aggregate agreement "
           f"{abs(g[1]-c[1])/max(abs(c[1]), 1e-9):.2e} rel")

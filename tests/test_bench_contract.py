@@ -30,11 +30,25 @@ def test_bench_emits_one_json_line_cpu_fallback():
     assert rec["backend"] == "cpu"
 
 
-def test_wait_for_device_times_out_cleanly():
+def test_wait_for_device_times_out_cleanly(monkeypatch):
     sys.path.insert(0, ROOT)
     import bench
 
     # a probe that cannot succeed within the timeout must return False,
-    # not raise (the driver depends on the JSON line being emitted)
+    # not raise (the driver depends on the JSON line being emitted);
+    # force the timeout deterministically regardless of tunnel state
+    def fake_run(*a, **kw):
+        raise subprocess.TimeoutExpired(cmd="probe",
+                                        timeout=kw.get("timeout"))
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    assert bench.wait_for_device(max_tries=2, wait_s=0,
+                                 probe_timeout=1) is False
+
+    # and a succeeding probe returns True
+    class OK:
+        returncode = 0
+
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **kw: OK())
     assert bench.wait_for_device(max_tries=1, wait_s=0,
-                                 probe_timeout=1) in (True, False)
+                                 probe_timeout=1) is True

@@ -257,11 +257,9 @@ def test_multiclass_sweep_matches_per_class():
 def test_cv_sweep_gram_side_matches_cov_side(rng):
     """Long-spectrum CV (N < L): the auto-picked Gram-side fold solve
     reproduces the covariance-side sweep's aggregates exactly (the same
-    dense decomposition computed on the cheaper (N, N) side)."""
-    import functools
-
+    dense decomposition computed on the cheaper (N, N) side; ``side=`` is
+    threaded through cv_simca_sweep like ``solver=``)."""
     import ocm_tpu.models.cv as cv_mod
-    from ocm_tpu.models.simca import masked_pca_eig
 
     x = np.concatenate([
         make_class_spectra(rng, 36, 100).astype(np.float64),
@@ -271,14 +269,7 @@ def test_cv_sweep_gram_side_matches_cov_side(rng):
     kw = dict(lv_values=range(1, 5), n_splits=3, t2_method="Fdist",
               q_method="jm")
     got = cv_mod.cv_simca_sweep(x, y, 0, **kw)          # auto -> gram
-    orig = cv_mod.masked_pca_eig
-    cv_mod.masked_pca_eig = functools.partial(masked_pca_eig, side="cov")
-    try:
-        cv_mod._cv_sweep_jit.clear_cache()
-        want = cv_mod.cv_simca_sweep(x, y, 0, **kw)
-    finally:
-        cv_mod.masked_pca_eig = orig
-        cv_mod._cv_sweep_jit.clear_cache()
+    want = cv_mod.cv_simca_sweep(x, y, 0, side="cov", **kw)
     np.testing.assert_allclose(got["sens"], want["sens"], atol=1e-9)
     np.testing.assert_allclose(got["spec"], want["spec"], atol=1e-9)
     np.testing.assert_array_equal(got["pred"], want["pred"])

@@ -399,3 +399,23 @@ def test_sharded_config_sweep_rejects_missing_model_axis():
                                   data_mesh, epochs=1, batch_size=16,
                                   loss_type="euclidean",
                                   rng=jax.random.key(0))
+
+
+def test_cv_sweep_sharded_gram_side_long_spectra():
+    """N < L data: the 1-D sharded sweep auto-picks the SAME gram-side
+    fold solve as the local sweep (x is replicated on the model axis, so
+    the decomposition side matches by construction) — aggregates equal.
+    The 2-D data-sharded path is cov-side by construction (psum'd (L, L)
+    covariance) and keeps its own parity tests on N > L data."""
+    rng = np.random.default_rng(29)
+    x = np.concatenate([
+        make_class_spectra(rng, 36, 100),
+        make_class_spectra(rng, 24, 100, center_shift=0.8),
+    ]).astype(np.float64)
+    y = np.repeat([0, 1], [36, 24])
+    mesh = make_mesh((8,), ("model",))
+    kw = dict(lv_values=range(1, 5), n_splits=4)
+    local = cv_simca_sweep(x, y, 0, **kw)
+    shard = cv_sweep_sharded(x, y, 0, mesh=mesh, **kw)
+    np.testing.assert_allclose(shard["sens"], local["sens"], atol=1e-8)
+    np.testing.assert_allclose(shard["spec"], local["spec"], atol=1e-8)

@@ -604,3 +604,40 @@ def test_fit_classes_gram_side_under_vmap(rng):
         np.testing.assert_array_equal(np.asarray(a[c]), np.asarray(a1))
         np.testing.assert_allclose(np.asarray(d[c]), np.asarray(d1),
                                    rtol=5e-3)
+
+
+def test_masked_pca_gram_degenerate_directions(rng):
+    """Rank-deficient N < L data (duplicated rows + constant channels):
+    the gram side's near-zero eigenvalues come back as roundoff, not
+    exact zeros — junk columns must be ZEROED (cov-side null vectors
+    contribute ~0 score; an unguarded division would inject O(lambda_max)
+    into Q).  Checks column norms and fit agreement at k near the rank."""
+    base = make_class_spectra(rng, 20, 80).astype(np.float64)
+    x = np.concatenate([base, base[:12]])          # 32 rows, rank <= 19
+    x[:, 40] = 1.0                                  # constant channel
+    x[:, 41] = x[:, 40]
+    w = np.ones(32)
+    g = simca.masked_pca_eig(jnp.asarray(x), jnp.asarray(w), side="gram")
+    c = simca.masked_pca_eig(jnp.asarray(x), jnp.asarray(w), side="cov")
+    norms = np.linalg.norm(np.asarray(g.eigvec), axis=0)
+    assert np.all(norms <= 1.0 + 1e-8)              # no junk blowup
+    # resolved spectrum agrees; beyond-rank gram columns are exactly zero
+    rank = 19
+    np.testing.assert_allclose(np.asarray(g.eigenvalues[:rank]),
+                               np.asarray(c.eigenvalues[:rank]),
+                               rtol=1e-8, atol=1e-12)
+    assert np.all(norms[rank + 2:] == 0.0)
+    # full fit at k just under the rank matches the independent oracle
+    # (sklearn full-SVD) fitted on the same degenerate rows
+    m_g = simca.fit_simca_masked(jnp.asarray(x), jnp.asarray(w), 15)
+    oracle = SimcaOracle("alt", "Fdist", "jm").fit(x, 15)
+    assert float(m_g.t2_res.limit) == pytest.approx(oracle.t2_limit,
+                                                    rel=1e-6)
+    x_new = make_class_spectra(rng, 40, 80, center_shift=0.5
+                               ).astype(np.float64)
+    x_new[:, 40] = 1.0
+    x_new[:, 41] = 1.0
+    want_acc, want_dred, _, _ = oracle.decide(x_new)
+    a_g, d_g, _, _ = simca.simca_decide(m_g, jnp.asarray(x_new))
+    np.testing.assert_allclose(np.asarray(d_g), want_dred, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a_g), want_acc)
