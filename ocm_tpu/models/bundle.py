@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, NamedTuple
 
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -120,6 +121,43 @@ def load_bundle(path: str, template: OCMBundle) -> OCMBundle:
     with open(path, "rb") as f:
         state = serialization.from_bytes(template._asdict(), f.read())
     return OCMBundle(**state)
+
+
+def stack_bundles(items):
+    """Stack matching model pytrees along a new leading class axis.
+
+    The multi-class serving input: independently fitted per-class pytrees
+    (``OCMBundle``s of one shared architecture, or their fitted
+    ``vaesimca.VAESIMCAModel``s) become ONE stacked pytree whose leaves
+    carry a leading (C,) axis, so a C-class screen — the reference's
+    sequential per-nut-type loop (vae_bce_nut.py:113-121,
+    vae_simca_nuts_peanut.py per-type reruns) — runs as one vmapped
+    compiled program (``serving.VAEScorer``) instead of C model passes.
+
+    All pytrees must share tree structure and leaf shapes (same
+    architecture/latent size); mismatches raise with the leaf path.
+    """
+    if not items:
+        raise ValueError("stack_bundles needs at least one pytree")
+    leaves0, treedef = jax.tree.flatten(items[0])
+    for i, b in enumerate(items[1:], 1):
+        if jax.tree.structure(b) != treedef:
+            raise ValueError(
+                f"stack_bundles: pytree {i} has a different structure "
+                "than pytree 0 (mixed architectures?)")
+    paths = [jax.tree_util.keystr(p)
+             for p, _ in jax.tree_util.tree_flatten_with_path(items[0])[0]]
+    out = []
+    for path, *leaves in zip(paths, leaves0,
+                             *(jax.tree.flatten(b)[0] for b in items[1:])):
+        shapes = {np.shape(leaf) for leaf in leaves}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"stack_bundles: leaf {path} shapes differ across classes: "
+                f"{sorted(shapes)} — all classes must share one "
+                "architecture/latent size")
+        out.append(jnp.stack(leaves))
+    return jax.tree.unflatten(treedef, out)
 
 
 def spectral_stats(x_train) -> tuple[np.ndarray, np.ndarray]:

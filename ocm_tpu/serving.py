@@ -325,11 +325,25 @@ class SIMCAScorer(_ChunkedScorer):
 
 
 class VAEScorer(_ChunkedScorer):
-    """Resident VAE one-class scorer over an OCMBundle.
+    """Resident VAE one-class scorer over an OCMBundle — single OR
+    multi-class.
 
     ``variant``: 'd2' | 'd2_q' | 'f' | 'full' (SURVEY.md §2.3 variants 2-4)
     or 'vaesimca' (variant 5; pass the fitted ``vaesimca_model`` from
     ocm_tpu.models.vaesimca.fit_vaesimca).
+
+    Passing a STACKED bundle (``models.bundle.stack_bundles`` over
+    independently fitted same-architecture classes) screens every class
+    from ONE compiled program per chunk: the per-class network passes
+    become a vmapped class axis (grouped convs on device), so a C-class
+    screen — the reference's sequential per-nut-type driver loop
+    (vae_bce_nut.py:113-121) — pays one dispatch and one H2D transfer of
+    the chunk instead of C of each.  Outputs then carry a trailing class
+    axis ((N, C)); with ``variant='vaesimca'`` the ``vaesimca_model`` must
+    be stacked over the same classes (``stack_bundles`` works on it too).
+    Per-class numerics are the single-scorer ones — variant 'f' keeps
+    quirk-Q3 batch statistics per class, identical to C single scorers
+    (parity asserted in tests/test_serving.py).
     """
 
     def __init__(self, model: ConvVAE1D, bundle: OCMBundle,
@@ -344,6 +358,9 @@ class VAEScorer(_ChunkedScorer):
             # on the MXU's native tier); all decision statistics stay f32
             # (models.vaesimca/vae_decision upcast latents before T2/Q)
             model = model.clone(dtype=compute_dtype)
+        # a stacked bundle carries a leading class axis on every leaf —
+        # the scalar thresholds become (C,)
+        self._multiclass = np.ndim(bundle.threshold) == 1
 
         if variant == "vaesimca":
             if vaesimca_model is None:
@@ -352,24 +369,47 @@ class VAEScorer(_ChunkedScorer):
                     "ocm_tpu.models.vaesimca.fit_vaesimca")
             from ocm_tpu.models.vaesimca import predict_vaesimca
 
-            def decide(xc):
-                accept, t2, q = predict_vaesimca(model, bundle,
-                                                 vaesimca_model, xc,
+            if self._multiclass:
+                n_cls = np.shape(bundle.threshold)[0]
+                if (np.ndim(vaesimca_model.d_limit) != 1
+                        or np.shape(vaesimca_model.d_limit)[0] != n_cls):
+                    raise ValueError(
+                        "stacked bundle needs a vaesimca_model stacked over "
+                        f"the same {n_cls} classes (stack_bundles)")
+
+            def decide_one(b, vm, xc):
+                accept, t2, q = predict_vaesimca(model, b, vm, xc,
                                                  decision_type)
                 return {"accept": accept, "t2": t2, "q": q}
-        elif variant == "d2":
-            decide = lambda xc: D.decide_d2(model, bundle, xc)._asdict()
+
+            if self._multiclass:
+                vmapped = jax.vmap(decide_one, in_axes=(0, 0, None))
+                decide = lambda xc: jax.tree.map(
+                    jnp.transpose, vmapped(bundle, vaesimca_model, xc))
+            else:
+                decide = lambda xc: decide_one(bundle, vaesimca_model, xc)
+            super().__init__(decide, chunk_size, mesh)
+            return
+        if variant == "d2":
+            decide_one = lambda b, xc: D.decide_d2(model, b, xc)._asdict()
         elif variant == "d2_q":
-            decide = lambda xc: D.decide_d2_q(model, bundle, xc,
-                                              loss_type)._asdict()
+            decide_one = lambda b, xc: D.decide_d2_q(
+                model, b, xc, loss_type)._asdict()
         elif variant == "f":
-            decide = lambda xc: D.decide_f(model, bundle, xc)._asdict()
+            decide_one = lambda b, xc: D.decide_f(model, b, xc)._asdict()
         elif variant == "full":
-            decide = lambda xc: D.decide_full_distance(model, bundle,
-                                                       xc)._asdict()
+            decide_one = lambda b, xc: D.decide_full_distance(
+                model, b, xc)._asdict()
         else:
             raise ValueError(f"unknown variant {variant!r}; expected "
                              "d2|d2_q|f|full|vaesimca")
+        if self._multiclass:
+            vmapped = jax.vmap(decide_one, in_axes=(0, None))
+            # batch-leading (N, C) orientation, matching SIMCAScorer
+            decide = lambda xc: jax.tree.map(jnp.transpose,
+                                             vmapped(bundle, xc))
+        else:
+            decide = lambda xc: decide_one(bundle, xc)
         super().__init__(decide, chunk_size, mesh)
 
     @classmethod

@@ -34,5 +34,6 @@ run sweep_vae --mode vmapped --epochs 5
 run sweep_vae --mode sharded --epochs 4
 run sweep_vae --mode runner --epochs 3 --out-dir $OUT/sw
 run distributed_scoring --n-spectra 20000
+run multiclass_vae_screen --epochs 4 --variant vaesimca
 run hsi_pipeline --size 96 --n-cubes 2
 echo "ALL EXAMPLES OK"

@@ -394,3 +394,99 @@ def test_rescreen_prepared_with_updated_models(stacked_models):
     np.testing.assert_array_equal(out["accept"], ref["accept"])
     np.testing.assert_allclose(out["dred"], ref["dred"], rtol=1e-4,
                                atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def stacked_vae():
+    """Three same-arch one-class VAEs (distinct params + calibration
+    classes), their fitted bundles / VAESIMCA models, and a mixed test set."""
+    from ocm_tpu.models.bundle import (new_bundle, spectral_stats,
+                                       stack_bundles)
+    from ocm_tpu.models.vae import ConvVAE1D, init_vae
+    from ocm_tpu.models.vae_decision import fit_thresholds
+    from ocm_tpu.models.vaesimca import fit_vaesimca
+
+    model = ConvVAE1D(input_length=48, latent_dim=4, conv_blocks=2,
+                      n_filters=8, hidden_fc=32)
+    rng = np.random.default_rng(7)
+    bundles, vs_models = [], []
+    for c in range(3):
+        x = make_class_spectra(rng, 80, 48,
+                               center_shift=0.4 * c).astype(np.float32)
+        params, bs = init_vae(model, jax.random.key(10 + c))
+        sm, ss = spectral_stats(x)
+        b = new_bundle(params, bs, jnp.asarray(sm), jnp.asarray(ss), 4)
+        bundles.append(fit_thresholds(model, b, x, loss_type="euclidean"))
+        vs_models.append(fit_vaesimca(model, bundles[-1], x))
+    xt = np.concatenate([
+        make_class_spectra(rng, 40, 48, center_shift=0.4 * c)
+        for c in range(3)]).astype(np.float32)
+    return (model, bundles, vs_models, stack_bundles(bundles),
+            stack_bundles(vs_models), xt)
+
+
+@pytest.mark.parametrize("variant", ["d2", "d2_q", "f", "full"])
+def test_vae_scorer_multiclass_matches_single(stacked_vae, variant):
+    """One stacked VAEScorer == C single scorers, per class, per variant
+    (incl. the quirk-Q3 per-class batch statistics of variant 'f')."""
+    model, bundles, _, stacked, _, xt = stacked_vae
+    out = VAEScorer(model, stacked, variant=variant,
+                    loss_type="euclidean", chunk_size=64).score(xt)
+    assert out["accept"].shape == (xt.shape[0], 3)
+    for c, b in enumerate(bundles):
+        ref = VAEScorer(model, b, variant=variant, loss_type="euclidean",
+                        chunk_size=64).score(xt)
+        np.testing.assert_array_equal(out["accept"][:, c], ref["accept"])
+        for k in ref:
+            if k != "accept":
+                np.testing.assert_allclose(out[k][:, c], ref[k],
+                                           rtol=2e-4, atol=1e-5)
+
+
+def test_vae_scorer_multiclass_vaesimca(stacked_vae):
+    model, bundles, vs_models, stacked, vs_stacked, xt = stacked_vae
+    out = VAEScorer(model, stacked, variant="vaesimca",
+                    vaesimca_model=vs_stacked, chunk_size=64).score(xt)
+    assert out["accept"].shape == (xt.shape[0], 3)
+    for c, (b, vm) in enumerate(zip(bundles, vs_models)):
+        ref = VAEScorer(model, b, variant="vaesimca", vaesimca_model=vm,
+                        chunk_size=64).score(xt)
+        np.testing.assert_array_equal(out["accept"][:, c], ref["accept"])
+        np.testing.assert_allclose(out["t2"][:, c], ref["t2"],
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(out["q"][:, c], ref["q"],
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_vae_scorer_multiclass_needs_stacked_vaesimca(stacked_vae):
+    model, _, vs_models, stacked, _, _ = stacked_vae
+    with pytest.raises(ValueError, match="stacked"):
+        VAEScorer(model, stacked, variant="vaesimca",
+                  vaesimca_model=vs_models[0])
+
+
+def test_stack_bundles_validates():
+    from ocm_tpu.models.bundle import new_bundle, stack_bundles
+    from ocm_tpu.models.vae import ConvVAE1D, init_vae
+
+    with pytest.raises(ValueError, match="at least one"):
+        stack_bundles([])
+    m4 = ConvVAE1D(input_length=48, latent_dim=4, conv_blocks=2,
+                   n_filters=8, hidden_fc=32)
+    m6 = ConvVAE1D(input_length=48, latent_dim=6, conv_blocks=2,
+                   n_filters=8, hidden_fc=32)
+    m3b = ConvVAE1D(input_length=48, latent_dim=4, conv_blocks=3,
+                    n_filters=8, hidden_fc=32)
+    sm = jnp.zeros(48, jnp.float32)
+    ss = jnp.ones(48, jnp.float32)
+
+    def bundle_of(model, latent_dim, seed):
+        params, bs = init_vae(model, jax.random.key(seed))
+        return new_bundle(params, bs, sm, ss, latent_dim)
+
+    # same structure, different leaf shapes (latent size) -> shape error
+    with pytest.raises(ValueError, match="shapes differ"):
+        stack_bundles([bundle_of(m4, 4, 0), bundle_of(m6, 6, 1)])
+    # different depth -> structure error
+    with pytest.raises(ValueError, match="structure"):
+        stack_bundles([bundle_of(m4, 4, 0), bundle_of(m3b, 4, 1)])
