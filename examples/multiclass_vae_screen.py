@@ -33,7 +33,7 @@ def main(epochs=8, variant="d2", latent_dim=6, chunk_size=2048, seed=42):
     import _synthetic
     from ocm_tpu.models import vae_decision as D
     from ocm_tpu.models.bundle import stack_bundles
-    from ocm_tpu.models.trainer import TrainConfig, train_vae
+    from ocm_tpu.models.trainer import TrainConfig
     from ocm_tpu.models.vae import ConvVAE1D
     from ocm_tpu.models.vaesimca import fit_vaesimca
     from ocm_tpu.serving import VAEScorer
@@ -47,20 +47,29 @@ def main(epochs=8, variant="d2", latent_dim=6, chunk_size=2048, seed=42):
     cfg = TrainConfig(epochs=epochs, batch_size=64, lr=1e-3,
                       loss_type="euclidean")
 
-    # one VAE per class, trained independently (same architecture) --------
+    # one VAE per class, ALL classes trained in one vmapped program
+    # (utils.sweep.train_vae_classes — the class axis replaces the
+    # reference's sequential per-type driver runs; unequal class sizes
+    # cyclic-pad to the largest) --------------------------------------
+    from ocm_tpu.utils.sweep import train_vae_classes
+
+    splits = [object_aware_splits(data, nut_types, nut, length,
+                                  verbose=False) for nut in nut_types]
+    res = train_vae_classes(model, [s.x_cal for s in splits],
+                            [s.x_val for s in splits], cfg,
+                            jax.random.key(seed))
     bundles, vs_models, tests = [], [], []
     for i, nut in enumerate(nut_types):
-        res = object_aware_splits(data, nut_types, nut, length,
-                                  verbose=False)
-        r = train_vae(model, res.x_cal, res.x_val, cfg,
-                      jax.random.key(seed + i))
-        b = D.fit_thresholds(model, r.bundle, res.x_cal,
+        b = jax.tree.map(lambda a: a[i], res.bundle)
+        b = D.fit_thresholds(model, b, splits[i].x_cal,
                              loss_type=cfg.loss_type)
         bundles.append(b)
-        vs_models.append(fit_vaesimca(model, b, res.x_cal))
-        tests.append(np.asarray(res.x_test, np.float32))
-        best = float(np.asarray(r.val_losses)[int(r.best_epoch)])
-        print(f"[fit] {nut}: cal={res.x_cal.shape[0]} best val={best:.5f}")
+        vs_models.append(fit_vaesimca(model, b, splits[i].x_cal))
+        tests.append(np.asarray(splits[i].x_test, np.float32))
+        best = float(np.asarray(res.val_losses)[
+            i, int(np.asarray(res.best_epoch)[i])])
+        print(f"[fit] {nut}: cal={splits[i].x_cal.shape[0]} "
+              f"best val={best:.5f}")
 
     x_mix = np.concatenate(tests)
     stacked = stack_bundles(bundles)

@@ -38,7 +38,8 @@ import optax
 
 from ocm_tpu.models.bundle import new_bundle, spectral_stats
 from ocm_tpu.models.trainer import (TrainConfig, TrainResult, epoch_scan,
-                                    make_eval_loss, make_train_step)
+                                    make_eval_loss, make_train_step,
+                                    torch_adam)
 from ocm_tpu.models.vae import ConvVAE1D, init_vae
 from ocm_tpu.utils.io import load_json, save_json
 
@@ -290,6 +291,112 @@ def sweep_result(out, mean, std, model, epoch_offset) -> TrainResult:
     )(best_params, best_bs)
     return TrainResult(bundles, tl, vls, best_ep + epoch_offset,
                        f_params, f_bs, f_opt)
+
+
+def classes_train_body(model: ConvVAE1D, cfg: TrainConfig, batch_size: int,
+                       epoch_offset, xcs_std, xvs_std, means, stds,
+                       cls_rngs):
+    """The vmapped per-CLASS epoch loop (unjitted body): one architecture
+    and one STATIC optimizer config (built from ``cfg`` exactly as
+    ``models.trainer._train_loop`` does), with per-class data,
+    standardization stats and RNG streams along the vmapped axis.  Cached
+    entry point: ``_classes_train_loop``."""
+    tx = torch_adam(cfg.lr, cfg.weight_decay)
+
+    def train_one(xc, xv, mean, std, cls_rng):
+        spec = (mean, std) if cfg.loss_space == "raw" else None
+        step_fn = make_train_step(model, tx, cfg, spec=spec)
+        eval_fn = make_eval_loss(model, cfg, spec=spec)
+        init_rng, train_rng = jax.random.split(cls_rng)
+        params, batch_stats = init_vae(model, init_rng)
+        opt_state = tx.init(params)
+        return epoch_scan(cfg, batch_size, epoch_offset, xc, xv, step_fn,
+                          eval_fn, params, batch_stats, opt_state,
+                          train_rng)
+
+    return jax.vmap(train_one)(xcs_std, xvs_std, means, stds, cls_rngs)
+
+
+_classes_train_loop = functools.partial(
+    jax.jit, static_argnames=("model", "cfg", "batch_size"))(
+        classes_train_body)
+
+
+def _cyclic_rows(a: np.ndarray, n: int) -> np.ndarray:
+    """Extend a 2-D array to n rows by verbatim cyclic repetition."""
+    return a[np.arange(n) % a.shape[0]]
+
+
+def train_vae_classes(model: ConvVAE1D, x_cals, x_vals, cfg: TrainConfig,
+                      rng: jax.Array, spec_stats=None) -> TrainResult:
+    """Train one VAE per CLASS (one architecture, per-class data) as ONE
+    vmapped compiled program.
+
+    The reference trains its per-nut-type one-class VAEs by re-running a
+    whole driver per type (vae_simca_nuts_peanut.py is a single-type
+    script; vae_bce_nut.py trains one target per run) — C sequential
+    training loops.  Here the class axis is a vmap axis: per-class
+    calibration/validation sets, per-class standardization stats (each
+    class's own ``spectral_stats``, the reference semantics) and
+    per-class RNG streams batch into one program on the MXU.
+
+    Unequal class sizes are CYCLIC-padded (verbatim row repeats) to the
+    largest class, so a smaller class trains on a cyclically oversampled
+    calibration set: every sample still appears each epoch, early rows
+    twice, and its padded validation mean re-weights duplicates — exact
+    equality holds for any class at the max size.  With equal sizes,
+    class c runs exactly ``train_vae(model, x_cals[c], x_vals[c], cfg,
+    jax.random.split(rng, C)[c])`` modulo batched-f32 reassociation (the
+    ``train_vae_vmapped`` contract; asserted in tests/test_sweep.py).
+
+    Returns a TrainResult with a leading class axis.  ``result.bundle``
+    is stacked exactly as ``models.bundle.stack_bundles`` produces, so
+    after per-class ``vae_decision.fit_thresholds`` (on the unstacked
+    bundles: ``jax.tree.map(lambda a: a[c], result.bundle)``) the
+    re-stacked models feed the multi-class ``serving.VAEScorer`` directly.
+
+    ``spec_stats``: optional per-class sequence of (mean, std) overrides.
+    """
+    n_classes = len(x_cals)
+    if n_classes < 1 or len(x_vals) != n_classes:
+        raise ValueError(
+            "x_cals and x_vals must be equal-length and non-empty")
+    x_cals = [np.asarray(x) for x in x_cals]
+    x_vals = [np.asarray(x) for x in x_vals]
+    lengths = ({x.shape[1] for x in x_cals}
+               | {x.shape[1] for x in x_vals})
+    if len(lengths) != 1:
+        raise ValueError("classes must share one spectral length, got "
+                         f"{sorted(lengths)}")
+    if spec_stats is None:
+        stats = [spectral_stats(x) for x in x_cals]
+    else:
+        stats = [tuple(s) for s in spec_stats]
+        if len(stats) != n_classes:
+            raise ValueError("spec_stats must give (mean, std) per class")
+    n_max = max(x.shape[0] for x in x_cals)
+    m_max = max(x.shape[0] for x in x_vals)
+    xcs, xvs, means, stds = [], [], [], []
+    for xc, xv, (mean, std) in zip(x_cals, x_vals, stats):
+        mean = np.asarray(mean, xc.dtype)
+        std = np.asarray(std, xc.dtype)
+        xcs.append(_cyclic_rows((xc - mean) / std, n_max))
+        xvs.append(_cyclic_rows((xv - mean) / std, m_max))
+        means.append(mean)
+        stds.append(std)
+    xcs = jnp.asarray(np.stack(xcs))
+    xvs = jnp.asarray(np.stack(xvs))
+    means = jnp.asarray(np.stack(means))
+    stds = jnp.asarray(np.stack(stds))
+    bs = min(cfg.batch_size, n_max)
+    cls_rngs = jax.random.split(rng, n_classes)
+    (f_params, f_bs, f_opt, best_params, best_bs, best_ep, tl,
+     vls) = _classes_train_loop(model, cfg, bs, 0, xcs, xvs, means, stds,
+                                cls_rngs)
+    bundles = jax.vmap(
+        lambda p, b, m, s: new_bundle(p, b, m, s, model.latent_dim)
+    )(best_params, best_bs, means, stds)
+    return TrainResult(bundles, tl, vls, best_ep, f_params, f_bs, f_opt)
 
 
 # ---------------------------------------------------------------------------

@@ -480,3 +480,82 @@ def test_plot_t2q_interactive_gated():
     else:
         with pytest.raises(ImportError, match="plot_t2q"):
             plot_t2q_interactive(t2, q)
+
+
+def test_train_vae_classes_matches_sequential():
+    """Equal-size classes: class c of train_vae_classes runs train_vae's
+    trajectory with x_cals[c] and rng=split(rng, C)[c] (the
+    train_vae_vmapped equivalence contract, now along a DATA axis)."""
+    from ocm_tpu.models.trainer import TrainConfig, train_vae
+    from ocm_tpu.utils.sweep import train_vae_classes
+
+    rng = np.random.default_rng(11)
+    cals = [make_data(rng, 64, shift=0.5 * c) for c in range(2)]
+    vals = [make_data(rng, 24, shift=0.5 * c) for c in range(2)]
+    model = ConvVAE1D(input_length=48, latent_dim=4, conv_blocks=2,
+                      n_filters=8, hidden_fc=32)
+    cfg = TrainConfig(epochs=4, batch_size=32, loss_type="euclidean")
+    key = jax.random.key(7)
+    res = train_vae_classes(model, cals, vals, cfg, key)
+    assert np.asarray(res.val_losses).shape == (2, 4)
+    keys = jax.random.split(key, 2)
+    for c in range(2):
+        seq = train_vae(model, cals[c], vals[c], cfg, keys[c])
+        np.testing.assert_allclose(np.asarray(res.train_losses)[c],
+                                   np.asarray(seq.train_losses), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(res.val_losses)[c],
+                                   np.asarray(seq.val_losses), rtol=2e-3)
+        assert int(np.asarray(res.best_epoch)[c]) == int(seq.best_epoch)
+        # per-class standardization stats land in the stacked bundles
+        np.testing.assert_allclose(np.asarray(res.bundle.spec_mean[c]),
+                                   cals[c].mean(axis=0), rtol=1e-5)
+
+
+def test_train_vae_classes_padding_and_serving():
+    """Unequal class sizes: the largest class is unpadded (exact
+    train_vae trajectory); the stacked bundles thread through per-class
+    fit_thresholds into the multi-class VAEScorer."""
+    from ocm_tpu.models.bundle import stack_bundles
+    from ocm_tpu.models.trainer import TrainConfig, train_vae
+    from ocm_tpu.models.vae_decision import fit_thresholds
+    from ocm_tpu.serving import VAEScorer
+    from ocm_tpu.utils.sweep import train_vae_classes
+
+    rng = np.random.default_rng(12)
+    cals = [make_data(rng, 64), make_data(rng, 41, shift=0.5)]
+    vals = [make_data(rng, 24), make_data(rng, 17, shift=0.5)]
+    model = ConvVAE1D(input_length=48, latent_dim=4, conv_blocks=2,
+                      n_filters=8, hidden_fc=32)
+    cfg = TrainConfig(epochs=3, batch_size=32, loss_type="euclidean")
+    key = jax.random.key(8)
+    res = train_vae_classes(model, cals, vals, cfg, key)
+    seq = train_vae(model, cals[0], vals[0], cfg, jax.random.split(key, 2)[0])
+    np.testing.assert_allclose(np.asarray(res.train_losses)[0],
+                               np.asarray(seq.train_losses), rtol=1e-5)
+
+    fitted = [fit_thresholds(model, jax.tree.map(lambda a: a[c], res.bundle),
+                             cals[c], loss_type="euclidean")
+              for c in range(2)]
+    scorer = VAEScorer(model, stack_bundles(fitted), variant="d2",
+                       loss_type="euclidean", chunk_size=64)
+    out = scorer.score(np.concatenate(vals))
+    assert out["accept"].shape == (41, 2)
+    # each class mostly accepts its own validation spectra
+    assert out["accept"][:24, 0].mean() > 0.5
+    assert out["accept"][24:, 1].mean() > 0.5
+
+
+def test_train_vae_classes_validates():
+    from ocm_tpu.models.trainer import TrainConfig
+    from ocm_tpu.utils.sweep import train_vae_classes
+
+    rng = np.random.default_rng(13)
+    model = ConvVAE1D(input_length=48, latent_dim=4, conv_blocks=2,
+                      n_filters=8, hidden_fc=32)
+    cfg = TrainConfig(epochs=1, batch_size=8, loss_type="euclidean")
+    with pytest.raises(ValueError, match="equal-length"):
+        train_vae_classes(model, [make_data(rng)], [], cfg, jax.random.key(0))
+    with pytest.raises(ValueError, match="spectral length"):
+        train_vae_classes(model, [make_data(rng), make_data(rng, length=32)],
+                          [make_data(rng, 8), make_data(rng, 8, length=32)],
+                          cfg, jax.random.key(0))
