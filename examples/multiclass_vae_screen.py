@@ -65,7 +65,10 @@ def main(epochs=8, variant="d2", latent_dim=6, chunk_size=2048, seed=42):
                              loss_type=cfg.loss_type)
         bundles.append(b)
         vs_models.append(fit_vaesimca(model, b, splits[i].x_cal))
-        tests.append(np.asarray(splits[i].x_test, np.float32))
+        # the class's OWN held-out test objects (x_test is the global
+        # all-class set, identical across splits — concatenating it per
+        # class would screen C duplicate copies of every spectrum)
+        tests.append(np.asarray(splits[i].x_test_in, np.float32))
         best = float(np.asarray(res.val_losses)[
             i, int(np.asarray(res.best_epoch)[i])])
         print(f"[fit] {nut}: cal={splits[i].x_cal.shape[0]} "

@@ -84,14 +84,17 @@ def cyclic_pad(arrays, multiple: int):
     pad = (-n) % multiple
     if pad == 0:
         return list(arrays), 0
-    reps = np.arange(pad) % n
-    import jax.numpy as jnp
+    return [cyclic_pad_to(a, n + pad) for a in arrays], pad
 
-    def _one(a):
-        cat = np.concatenate if isinstance(a, np.ndarray) else jnp.concatenate
-        return cat([a, a[reps]], axis=0)
 
-    return [_one(a) for a in arrays], pad
+def cyclic_pad_to(a, n: int):
+    """Extend an array's leading axis to exactly ``n`` rows by verbatim
+    cyclic repetition — the pad-to-size sibling of :func:`cyclic_pad`
+    (which pads to a multiple).  Array types are preserved (np stays
+    host-side, jnp stays on device)."""
+    if a.shape[0] == n:
+        return a
+    return a[np.arange(n) % a.shape[0]]
 
 
 def pad_to_multiple(x, multiple: int, axis: int = 0):

@@ -358,9 +358,22 @@ class VAEScorer(_ChunkedScorer):
             # on the MXU's native tier); all decision statistics stay f32
             # (models.vaesimca/vae_decision upcast latents before T2/Q)
             model = model.clone(dtype=compute_dtype)
-        # a stacked bundle carries a leading class axis on every leaf —
-        # the scalar thresholds become (C,)
-        self._multiclass = np.ndim(bundle.threshold) == 1
+        # a stacked bundle carries a leading class axis on EVERY leaf; key
+        # the detection on latent_mean's rank ((k,) vs (C, k)) rather than
+        # the threshold, so a single-class checkpoint whose threshold
+        # buffer happens to be shape-(1,) (e.g. torch.tensor([thr]) in a
+        # hand-built .pth) still takes the single-class path (its
+        # comparisons broadcast) instead of mis-vmapping the whole bundle
+        self._multiclass = np.ndim(bundle.latent_mean) == 2
+        if self._multiclass and (
+                np.ndim(bundle.threshold) != 1
+                or np.shape(bundle.threshold)[0]
+                != np.shape(bundle.latent_mean)[0]):
+            raise ValueError(
+                "stacked bundle is inconsistent: latent_mean has a class "
+                f"axis of {np.shape(bundle.latent_mean)[0]} but threshold "
+                f"has shape {np.shape(bundle.threshold)} — build stacked "
+                "bundles with models.bundle.stack_bundles")
 
         if variant == "vaesimca":
             if vaesimca_model is None:

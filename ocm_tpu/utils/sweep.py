@@ -322,11 +322,6 @@ _classes_train_loop = functools.partial(
         classes_train_body)
 
 
-def _cyclic_rows(a: np.ndarray, n: int) -> np.ndarray:
-    """Extend a 2-D array to n rows by verbatim cyclic repetition."""
-    return a[np.arange(n) % a.shape[0]]
-
-
 def train_vae_classes(model: ConvVAE1D, x_cals, x_vals, cfg: TrainConfig,
                       rng: jax.Array, spec_stats=None) -> TrainResult:
     """Train one VAE per CLASS (one architecture, per-class data) as ONE
@@ -357,12 +352,21 @@ def train_vae_classes(model: ConvVAE1D, x_cals, x_vals, cfg: TrainConfig,
 
     ``spec_stats``: optional per-class sequence of (mean, std) overrides.
     """
+    # function-level import: parallel.sweep_dist imports this module at
+    # top level, so the reverse edge must stay out of import time
+    from ocm_tpu.parallel.mesh import cyclic_pad_to
+
     n_classes = len(x_cals)
     if n_classes < 1 or len(x_vals) != n_classes:
         raise ValueError(
             "x_cals and x_vals must be equal-length and non-empty")
     x_cals = [np.asarray(x) for x in x_cals]
     x_vals = [np.asarray(x) for x in x_vals]
+    for i, (xc, xv) in enumerate(zip(x_cals, x_vals)):
+        if xc.shape[0] == 0 or xv.shape[0] == 0:
+            raise ValueError(
+                f"class {i}: empty calibration or validation set "
+                f"(shapes {xc.shape} / {xv.shape})")
     lengths = ({x.shape[1] for x in x_cals}
                | {x.shape[1] for x in x_vals})
     if len(lengths) != 1:
@@ -380,8 +384,8 @@ def train_vae_classes(model: ConvVAE1D, x_cals, x_vals, cfg: TrainConfig,
     for xc, xv, (mean, std) in zip(x_cals, x_vals, stats):
         mean = np.asarray(mean, xc.dtype)
         std = np.asarray(std, xc.dtype)
-        xcs.append(_cyclic_rows((xc - mean) / std, n_max))
-        xvs.append(_cyclic_rows((xv - mean) / std, m_max))
+        xcs.append(cyclic_pad_to((xc - mean) / std, n_max))
+        xvs.append(cyclic_pad_to((xv - mean) / std, m_max))
         means.append(mean)
         stds.append(std)
     xcs = jnp.asarray(np.stack(xcs))

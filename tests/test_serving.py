@@ -490,3 +490,20 @@ def test_stack_bundles_validates():
     # different depth -> structure error
     with pytest.raises(ValueError, match="structure"):
         stack_bundles([bundle_of(m4, 4, 0), bundle_of(m3b, 4, 1)])
+
+
+def test_vae_scorer_shape1_threshold_is_single_class(vae_bundle):
+    """A (1,)-shaped threshold buffer (hand-built checkpoint) must not be
+    mistaken for a stacked class axis — detection keys on latent_mean."""
+    model, bundle, x = vae_bundle
+    b1 = bundle._replace(threshold=jnp.reshape(bundle.threshold, (1,)))
+    out = VAEScorer(model, b1, variant="d2", chunk_size=64).score(x)
+    ref = VAEScorer(model, bundle, variant="d2", chunk_size=64).score(x)
+    np.testing.assert_array_equal(out["accept"], ref["accept"])
+
+
+def test_vae_scorer_inconsistent_stack_raises(stacked_vae):
+    model, _, _, stacked, _, _ = stacked_vae
+    bad = stacked._replace(threshold=stacked.threshold[:2])
+    with pytest.raises(ValueError, match="inconsistent"):
+        VAEScorer(model, bad, variant="d2")
