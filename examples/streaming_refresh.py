@@ -1,0 +1,102 @@
+"""Streaming calibration in a production screening loop.
+
+The scenario the reference cannot express (its SIMCA refits need the full
+calibration matrix in memory, utils/SIMCA.py:62-75): an acquisition line
+produces batches of spectra continuously; operator-confirmed in-class
+spectra should tighten the deployed model WITHOUT re-assembling all past
+data.  Here every confirmed batch is folded into an O(L^2) sufficient
+statistic (`ocm_tpu.models.streaming`, one GEMM per batch), and the model
+is refreshed from the statistic alone — decisions identical to a
+from-scratch fit on everything ever seen.
+
+Run: python examples/streaming_refresh.py  (synthetic data; CPU or TPU)
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def make_batch(rng, n, length, drift=0.0):
+    t = np.linspace(0, 1, length)
+    base = np.sin(2 * np.pi * 3 * t) + drift * np.cos(2 * np.pi * 5 * t)
+    amp = rng.normal(1.0, 0.1, size=(n, 1))
+    return (amp * base[None, :]
+            + rng.normal(0, 0.02, size=(n, length))).astype(np.float32)
+
+
+def main(length=400, k=8, batches=12, batch_n=512, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from ocm_tpu.models.simca import fit_simca, simca_decide
+    from ocm_tpu.models.streaming import (fit_simca_moments, moments_init,
+                                          moments_update)
+
+    rng = np.random.default_rng(seed)
+
+    # the whole screen -> ingest-confirmed -> refresh round is ONE jitted
+    # program: masked ingest (weights = the accept decisions) keeps the
+    # batch shape static, so every round after the first reuses the
+    # executable
+    @jax.jit
+    def screen_and_refresh(model, mom, xb):
+        accept, *_ = simca_decide(model, xb, "alt")
+        mom = moments_update(mom, xb, w=accept.astype(xb.dtype))
+        return accept, mom, fit_simca_moments(mom, k)
+
+    # ---- bootstrap: a small initial calibration set ----------------------
+    x0 = make_batch(rng, 256, length)
+    mom = moments_update(moments_init(length, jnp.float32), x0)
+    model = fit_simca_moments(mom, k)
+    print(f"bootstrap: n={int(model.n_samples)}  "
+          f"t2 lim={float(model.t2_res.limit):.3f}  "
+          f"q lim={float(model.q_res.limit):.5f}")
+
+    # ---- the acquisition loop -------------------------------------------
+    # each round: screen the incoming batch, then ingest the accepted
+    # spectra (stand-in for operator confirmation) and refresh the model
+    seen = [x0]
+    for b in range(batches):
+        # the line slowly drifts — exactly why deployed limits go stale
+        xb = make_batch(rng, batch_n, length, drift=0.004 * b)
+        t0 = time.perf_counter()
+        accept, mom, model = screen_and_refresh(model, mom, jnp.asarray(xb))
+        accept = np.asarray(accept)
+        dt = time.perf_counter() - t0
+        seen.append(xb[accept])
+        print(f"batch {b:2d}: accepted {accept.mean() * 100:5.1f}%  "
+              f"n={int(model.n_samples):5d}  "
+              f"q lim={float(model.q_res.limit):.5f}  "
+              f"screen+refresh {dt * 1e3:.1f} ms"
+              + ("  (compile)" if b == 0 else ""))
+
+    # ---- the guarantee: streaming == from-scratch on everything seen -----
+    x_all = np.concatenate(seen)
+    ref = fit_simca(jnp.asarray(x_all), k, solver="svd")
+    probe = make_batch(rng, 2048, length, drift=0.02)
+    a_stream = np.asarray(simca_decide(model, jnp.asarray(probe), "alt")[0])
+    a_ref = np.asarray(simca_decide(ref, jnp.asarray(probe), "alt")[0])
+    agree = float(np.mean(a_stream == a_ref))
+    print(f"\nstreamed model vs from-scratch fit on all {x_all.shape[0]} "
+          f"spectra: decision agreement {agree:.4f} "
+          f"(held matrix never materialized: max resident was one batch)")
+    # f32 eigh-from-moments vs f32 full SVD: identical statistics to float
+    # reassociation, so only exactly-boundary samples may flip
+    assert agree >= 0.999, "streaming fit must match the full refit"
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--length", type=int, default=400)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--batches", type=int, default=12)
+    ap.add_argument("--batch-n", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args()
+    main(length=a.length, k=a.k, batches=a.batches, batch_n=a.batch_n,
+         seed=a.seed)

@@ -28,7 +28,7 @@ from ocm_tpu.ops.linalg import (deflated_theta_tables, deflated_thetas,
                                 eigh_desc_signed, pca_topk_cov, pinv_psd,
                                 thetas_from_tables)
 from ocm_tpu.parallel.mesh import (DATA_AXIS, batch_sharding, cyclic_pad,
-                                   replicated)
+                                   pad_to_multiple, replicated)
 from ocm_tpu.stats import limits as L
 
 
@@ -141,6 +141,50 @@ def predict_sharded(model: SIMCAModel, x, mesh: Mesh,
                       batch_sharding(mesh, axis)),
         out_shardings=batch_sharding(mesh, axis))
     return fn(model, jnp.asarray(x))
+
+
+def moments_update_sharded(mom, x, mesh: Mesh, w=None,
+                           axis: str = DATA_AXIS):
+    """Sharded streaming ingest: fold a sample-sharded batch into a
+    replicated ``models.streaming.SpectraMoments``.
+
+    The batch's spectra shard over ``mesh[axis]``; the only cross-chip
+    traffic is the batch count, mean and (L, L) scatter (three ``psum``s,
+    independent of batch size).  Exactly the same sums as the local
+    ``moments_update`` in a different order, so the result matches to
+    float reassociation (tests/test_streaming.py).  Rows are zero-padded
+    to the axis size with a zero mask, so any batch size works.
+    """
+    from ocm_tpu.models.streaming import SpectraMoments, moments_merge
+
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    n_dev = mesh.shape[axis]
+    w_np = (jnp.ones((n,), x.dtype) if w is None
+            else jnp.asarray(w, x.dtype))
+    x_p, _ = pad_to_multiple(x, n_dev)
+    w_p, _ = pad_to_multiple(w_np, n_dev)
+    if x_p.shape[0] != n:            # padded rows must not count
+        w_p = jnp.asarray(w_p).at[n:].set(0.0)
+
+    def ingest(mom_r, x_loc, w_loc):
+        dt = mom_r.mean.dtype
+        x_loc = x_loc.astype(dt)
+        w_loc = w_loc.astype(dt)
+        nb = jax.lax.psum(jnp.sum(w_loc), axis)
+        safe_nb = jnp.maximum(nb, 1.0)
+        mu_b = jax.lax.psum(
+            jnp.sum(w_loc[:, None] * x_loc, axis=0), axis) / safe_nb
+        xc = (x_loc - mu_b[None, :]) * jnp.sqrt(w_loc)[:, None]
+        with jax.default_matmul_precision("highest"):
+            scatter_b = jax.lax.psum(xc.T @ xc, axis)
+        return moments_merge(mom_r, SpectraMoments(nb, mu_b, scatter_b))
+
+    rep = SpectraMoments(P(), P(), P())
+    run = shard_map(ingest, mesh=mesh,
+                    in_specs=(rep, P(axis), P(axis)),
+                    out_specs=rep, check_vma=False)
+    return jax.jit(run)(mom, jnp.asarray(x_p), jnp.asarray(w_p))
 
 
 def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,

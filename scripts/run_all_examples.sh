@@ -36,4 +36,5 @@ run sweep_vae --mode runner --epochs 3 --out-dir $OUT/sw
 run distributed_scoring --n-spectra 20000
 run multiclass_vae_screen --epochs 4 --variant vaesimca
 run hsi_pipeline --size 96 --n-cubes 2
+run streaming_refresh --length 120 --batches 5 --batch-n 128
 echo "ALL EXAMPLES OK"
