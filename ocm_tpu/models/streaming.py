@@ -127,6 +127,15 @@ def moments_cov(mom: SpectraMoments):
     return mom.scatter / jnp.maximum(mom.n - 1.0, 1.0)
 
 
+def moments_std(mom: SpectraMoments, ddof: int = 1):
+    """Per-wavelength standard deviation of everything ingested (the
+    spectral standardization statistic: feeds ``TrainConfig`` /
+    ``spec_stats`` so VAE training can standardize against a stream it
+    never held)."""
+    return jnp.sqrt(jnp.diagonal(mom.scatter)
+                    / jnp.maximum(mom.n - ddof, 1.0))
+
+
 def moments_update_classes(moms: SpectraMoments, x, y,
                            class_labels: Sequence) -> SpectraMoments:
     """Ingest one labelled batch into C stacked per-class statistics.

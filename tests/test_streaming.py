@@ -17,7 +17,7 @@ from ocm_tpu.models.streaming import (fit_classes_moments,
                                       fit_simca_moments, moments_cov,
                                       moments_from, moments_init,
                                       moments_init_classes, moments_merge,
-                                      moments_update,
+                                      moments_std, moments_update,
                                       moments_update_classes)
 from ocm_tpu.parallel.mesh import make_mesh
 from ocm_tpu.parallel.simca_dist import moments_update_sharded
@@ -72,6 +72,13 @@ def test_moments_stable_under_common_mode(rng):
     np.testing.assert_allclose(np.asarray(moments_cov(mom)),
                                np.cov(x, rowvar=False), rtol=1e-9,
                                atol=1e-12)
+
+
+def test_moments_std_matches_numpy(rng):
+    x = _stream(rng, n=90)
+    mom = moments_from(x)
+    np.testing.assert_allclose(np.asarray(moments_std(mom)),
+                               x.std(0, ddof=1), rtol=1e-10)
 
 
 def test_moments_masked_update(rng):
@@ -195,6 +202,42 @@ def test_moments_update_sharded_matches_local(rng):
     b = moments_update_sharded(mom_s, xb, mesh, w=w)
     np.testing.assert_allclose(np.asarray(b.scatter),
                                np.asarray(a.scatter), rtol=1e-10)
+
+
+def test_streaming_refresh_feeds_serving(rng):
+    """End-to-end production loop: chunks prepared ONCE by a serving
+    scorer re-screen (center= pinning) against stacked models refreshed
+    from a labelled stream — decisions equal to scoring raw spectra with
+    a from-scratch multi-class fit on everything ingested."""
+    from ocm_tpu.serving import SIMCAScorer
+
+    length, labels, k = 48, [0, 1, 2], 4
+    blocks = []
+    for c in labels:
+        xc = _stream(rng, n=90, length=length) + 0.4 * c
+        blocks.append((xc.astype(np.float32), np.full(90, c)))
+    x1 = np.concatenate([b[0][:60] for b in blocks])
+    y1 = np.concatenate([b[1][:60] for b in blocks])
+    x2 = np.concatenate([b[0][60:] for b in blocks])
+    y2 = np.concatenate([b[1][60:] for b in blocks])
+
+    moms = moments_init_classes(len(labels), length, jnp.float64)
+    moms = moments_update_classes(moms, x1, y1, labels)
+    scorer = SIMCAScorer(fit_classes_moments(moms, k), chunk_size=64)
+    x_probe = _stream(rng, n=150, length=length).astype(np.float32) + 0.2
+    prepared = scorer.prepare(x_probe)
+
+    # new confirmed spectra arrive -> refresh from the statistic alone
+    moms = moments_update_classes(moms, x2, y2, labels)
+    refreshed = fit_classes_moments(moms, k)
+    renew = SIMCAScorer(refreshed, chunk_size=64, center=scorer.center)
+    out = renew.score_prepared(prepared)
+
+    ref_models = fit_classes(
+        jnp.asarray(np.concatenate([x1, x2]), jnp.float64),
+        np.concatenate([y1, y2]), labels, k)
+    ref = SIMCAScorer(ref_models, chunk_size=64).score(x_probe)
+    np.testing.assert_array_equal(out["accept"], ref["accept"])
 
 
 def test_streaming_refresh_changes_decisions(rng):
