@@ -83,14 +83,18 @@ def moments_update(mom: SpectraMoments, x, w=None) -> SpectraMoments:
     x = jnp.asarray(x)
     dt = mom.mean.dtype
     x = x.astype(dt)
+    if x.shape[0] == 0:          # static shape: an empty batch is a no-op
+        return mom
     if w is None:
         nb = jnp.asarray(x.shape[0], dt)
         mu_b = jnp.mean(x, axis=0)
         xc = x - mu_b[None, :]
     else:
+        # 0/1 masks or frequency weights; the where() guard keeps an
+        # all-zero mask an exact no-op without corrupting fractional sums
         w = jnp.asarray(w, dt)
         nb = jnp.sum(w)
-        safe_nb = jnp.maximum(nb, 1.0)
+        safe_nb = jnp.where(nb > 0, nb, 1.0)
         mu_b = jnp.sum(w[:, None] * x, axis=0) / safe_nb
         xc = (x - mu_b[None, :]) * jnp.sqrt(w)[:, None]
     with jax.default_matmul_precision("highest"):
@@ -106,7 +110,7 @@ def moments_merge(a: SpectraMoments, b: SpectraMoments) -> SpectraMoments:
 
 def _merge(a: SpectraMoments, b: SpectraMoments) -> SpectraMoments:
     n = a.n + b.n
-    safe_n = jnp.maximum(n, 1.0)
+    safe_n = jnp.where(n > 0, n, 1.0)
     delta = b.mean - a.mean
     mean = a.mean + delta * (b.n / safe_n)
     # cross term: na*nb/n * outer(delta, delta); exact for either side empty
@@ -124,7 +128,7 @@ def moments_from(x, dtype=None) -> SpectraMoments:
 
 def moments_cov(mom: SpectraMoments):
     """np.cov(ddof=1)-equivalent covariance of everything ingested."""
-    return mom.scatter / jnp.maximum(mom.n - 1.0, 1.0)
+    return mom.scatter / jnp.where(mom.n > 1, mom.n - 1.0, 1.0)
 
 
 def moments_std(mom: SpectraMoments, ddof: int = 1):
@@ -133,7 +137,7 @@ def moments_std(mom: SpectraMoments, ddof: int = 1):
     ``spec_stats`` so VAE training can standardize against a stream it
     never held)."""
     return jnp.sqrt(jnp.diagonal(mom.scatter)
-                    / jnp.maximum(mom.n - ddof, 1.0))
+                    / jnp.where(mom.n > ddof, mom.n - ddof, 1.0))
 
 
 def moments_update_classes(moms: SpectraMoments, x, y,
@@ -197,7 +201,12 @@ def fit_simca_moments(mom: SpectraMoments, n_components: int,
 
     ``solver='eigh'`` decomposes the (L, L) covariance densely (strict
     parity with fit_simca(solver='svd') statistics); ``'rsvd'`` is the
-    GEMM-only production path (parity with fit_simca(solver='rsvd')).
+    GEMM-only production path (parity with fit_simca(solver='rsvd')
+    provided the stream holds at least ``n_components + oversample + 1``
+    spectra: the count is traced, so the sketch width cannot be capped at
+    the data rank n-1 the way fit_simca's static-shape path caps it —
+    below that, extraction past the rank perturbs the deflated theta
+    moments).
 
     The returned model's ``t2_train``/``q_train`` are empty — a streaming
     fit has no retained training scores (they only feed plots and the

@@ -143,6 +143,32 @@ def predict_sharded(model: SIMCAModel, x, mesh: Mesh,
     return fn(model, jnp.asarray(x))
 
 
+@functools.lru_cache(maxsize=None)
+def _moments_ingest_jit(mesh: Mesh, axis: str):
+    """Module-level jit cache for the streaming ingest (keyed on the mesh
+    — a per-call closure jit would re-trace EVERY batch, defeating the
+    point of a per-batch primitive; see the CLAUDE.md design rule)."""
+    from ocm_tpu.models.streaming import SpectraMoments, moments_merge
+
+    def ingest(mom_r, x_loc, w_loc):
+        dt = mom_r.mean.dtype
+        x_loc = x_loc.astype(dt)
+        w_loc = w_loc.astype(dt)
+        nb = jax.lax.psum(jnp.sum(w_loc), axis)
+        safe_nb = jnp.where(nb > 0, nb, 1.0)
+        mu_b = jax.lax.psum(
+            jnp.sum(w_loc[:, None] * x_loc, axis=0), axis) / safe_nb
+        xc = (x_loc - mu_b[None, :]) * jnp.sqrt(w_loc)[:, None]
+        with jax.default_matmul_precision("highest"):
+            scatter_b = jax.lax.psum(xc.T @ xc, axis)
+        return moments_merge(mom_r, SpectraMoments(nb, mu_b, scatter_b))
+
+    rep = SpectraMoments(P(), P(), P())
+    return jax.jit(shard_map(ingest, mesh=mesh,
+                             in_specs=(rep, P(axis), P(axis)),
+                             out_specs=rep, check_vma=False))
+
+
 def moments_update_sharded(mom, x, mesh: Mesh, w=None,
                            axis: str = DATA_AXIS):
     """Sharded streaming ingest: fold a sample-sharded batch into a
@@ -153,10 +179,10 @@ def moments_update_sharded(mom, x, mesh: Mesh, w=None,
     independent of batch size).  Exactly the same sums as the local
     ``moments_update`` in a different order, so the result matches to
     float reassociation (tests/test_streaming.py).  Rows are zero-padded
-    to the axis size with a zero mask, so any batch size works.
+    to the axis size with a zero mask, so any batch size works; repeated
+    same-shape batches hit one cached executable (the jit is keyed on the
+    mesh at module level, not rebuilt per call).
     """
-    from ocm_tpu.models.streaming import SpectraMoments, moments_merge
-
     x = jnp.asarray(x)
     n = x.shape[0]
     n_dev = mesh.shape[axis]
@@ -166,25 +192,8 @@ def moments_update_sharded(mom, x, mesh: Mesh, w=None,
     w_p, _ = pad_to_multiple(w_np, n_dev)
     if x_p.shape[0] != n:            # padded rows must not count
         w_p = jnp.asarray(w_p).at[n:].set(0.0)
-
-    def ingest(mom_r, x_loc, w_loc):
-        dt = mom_r.mean.dtype
-        x_loc = x_loc.astype(dt)
-        w_loc = w_loc.astype(dt)
-        nb = jax.lax.psum(jnp.sum(w_loc), axis)
-        safe_nb = jnp.maximum(nb, 1.0)
-        mu_b = jax.lax.psum(
-            jnp.sum(w_loc[:, None] * x_loc, axis=0), axis) / safe_nb
-        xc = (x_loc - mu_b[None, :]) * jnp.sqrt(w_loc)[:, None]
-        with jax.default_matmul_precision("highest"):
-            scatter_b = jax.lax.psum(xc.T @ xc, axis)
-        return moments_merge(mom_r, SpectraMoments(nb, mu_b, scatter_b))
-
-    rep = SpectraMoments(P(), P(), P())
-    run = shard_map(ingest, mesh=mesh,
-                    in_specs=(rep, P(axis), P(axis)),
-                    out_specs=rep, check_vma=False)
-    return jax.jit(run)(mom, jnp.asarray(x_p), jnp.asarray(w_p))
+    run = _moments_ingest_jit(mesh, axis)
+    return run(mom, jnp.asarray(x_p), jnp.asarray(w_p))
 
 
 def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,

@@ -85,7 +85,13 @@ def main():
                         scatter=mom.scatter + (1e-6 * i) * jnp.eye(
                             length, dtype=mom.scatter.dtype))
                     model = fit_simca_moments(m, k, solver=solver)
-                    return acc + model.q_res.limit + model.d_limit
+                    # consume EVERY expensive output: invcovT (the second
+                    # eigh + two GEMMs) and t2_res would otherwise be
+                    # DCE'd, and the default 'alt' d_limit is a constant
+                    # (the round-1 folding trap — docs/BENCHMARKS.md)
+                    return (acc + model.q_res.limit + model.t2_res.limit
+                            + jnp.sum(model.invcovT)
+                            + jnp.sum(model.components[:, 0]))
                 return jax.lax.fori_loop(0, inner, body, jnp.float32(0))
 
             dt = timeit(refresh_loop, mom0,

@@ -96,6 +96,40 @@ def test_moments_masked_update(rng):
     assert float(m0.n) == float(mom.n)
 
 
+def test_moments_empty_batch_is_noop(rng):
+    """A B=0 batch (ragged producer) must not poison the statistic."""
+    x = _stream(rng, n=30)
+    mom = moments_from(x)
+    m0 = moments_update(mom, x[:0])
+    np.testing.assert_array_equal(np.asarray(m0.scatter),
+                                  np.asarray(mom.scatter))
+    assert np.isfinite(np.asarray(m0.mean)).all()
+    assert float(m0.n) == 30
+
+
+def test_moments_fractional_weights(rng):
+    """Frequency weights below 1 total must still use the true divisor
+    (a max(nb, 1) guard would silently understate the mean)."""
+    x = _stream(rng, n=4)
+    w = np.array([0.3, 0.4, 0.0, 0.0])
+    mom = moments_update(moments_init(x.shape[1], jnp.float64), x, w=w)
+    mu = (0.3 * x[0] + 0.4 * x[1]) / 0.7
+    np.testing.assert_allclose(np.asarray(mom.mean), mu, atol=1e-12)
+    xc = (x[:2] - mu) * np.sqrt(w[:2, None])
+    np.testing.assert_allclose(np.asarray(mom.scatter), xc.T @ xc,
+                               atol=1e-12)
+
+
+def test_moments_sharded_ingest_jit_is_cached(rng):
+    """Per-batch ingest must reuse ONE cached executable (the CLAUDE.md
+    closure-jit rule): same mesh+axis -> the same jitted callable."""
+    from ocm_tpu.parallel.simca_dist import _moments_ingest_jit
+
+    mesh = make_mesh((8,), ("data",))
+    assert _moments_ingest_jit(mesh, "data") is _moments_ingest_jit(
+        mesh, "data")
+
+
 @pytest.mark.parametrize("solver", ["eigh", "rsvd"])
 def test_fit_simca_moments_matches_fit_simca(rng, solver):
     """Every moment-derived statistic of the streaming fit must match the
