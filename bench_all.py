@@ -404,12 +404,61 @@ def bench_roofline(quick=False):
             "mfu": mfu, "bwu": bwu}
 
 
+def bench_streaming(quick=False):
+    """Streaming production round: screen one batch + masked ingest of
+    accepts + moments-only model refresh, as ONE compiled program
+    (models/streaming; the reference's only equivalent is a full refit
+    from the whole calibration matrix).  Metric: sustained spectra/s
+    through the complete screen->ingest->refresh loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from ocm_tpu.models.simca import simca_decide
+    from ocm_tpu.models.streaming import (fit_simca_moments, moments_init,
+                                          moments_update)
+    from ocm_tpu.utils.profiling import timeit
+
+    length, batch_n, k = (128, 1024, 5) if quick else (500, 4096, 10)
+    inner = 16 if quick else 64
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 1, length)
+    base = np.sin(2 * np.pi * 3 * t)
+    xb = jnp.asarray((rng.normal(1.0, 0.1, (batch_n, 1)) * base[None, :]
+                      + rng.normal(0, 0.02, (batch_n, length))
+                      ).astype(np.float32))
+    mom0 = moments_update(moments_init(length, jnp.float32), xb)
+
+    @jax.jit
+    def round_loop(mom, x0):
+        model0 = fit_simca_moments(mom, k, solver="rsvd")
+
+        def body(i, carry):
+            mom_c, model, x_c = carry
+            row = x_c[:1] + (1e-3 * i).astype(x_c.dtype)
+            x_c = jax.lax.dynamic_update_slice(x_c, row,
+                                               (i % x_c.shape[0], 0))
+            accept, *_ = simca_decide(model, x_c, "alt")
+            mom_c = moments_update(mom_c, x_c, w=accept.astype(x_c.dtype))
+            return (mom_c,
+                    fit_simca_moments(mom_c, k, solver="rsvd"), x_c)
+
+        mom_f, model_f, _ = jax.lax.fori_loop(0, inner, body,
+                                              (mom, model0, x0))
+        return (model_f.q_res.limit + jnp.sum(model_f.invcovT) + mom_f.n)
+
+    dt = timeit(round_loop, mom0, xb, repeats=3 if quick else 5
+                )["best"] / inner
+    return _emit("streaming_round_throughput", batch_n / dt,
+                 "spectra/s (screen+ingest+refresh)")
+
+
 BENCHES = {
     "simca": bench_simca,
     "cvsimca": bench_cvsimca,
     "vae_train": bench_vae_train,
     "vae_simca": bench_vae_simca,
     "batched_sweep": bench_batched_sweep,
+    "streaming": bench_streaming,
     "roofline": bench_roofline,
 }
 

@@ -163,6 +163,33 @@ def moments_init_classes(n_classes: int, length: int,
         jnp.arange(n_classes))
 
 
+def save_moments(path: str, mom: SpectraMoments) -> None:
+    """Persist the statistic (msgpack, same mechanics as save_bundle) —
+    a production stream must survive process restarts; the statistic IS
+    the whole ingest state, so save/ingest/load/merge compose freely."""
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(mom._asdict()))
+
+
+def load_moments(path: str, length: Optional[int] = None) -> SpectraMoments:
+    """Load a statistic saved by :func:`save_moments`.  ``length`` is
+    only validated if given (the msgpack payload carries shapes)."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        state = serialization.msgpack_restore(f.read())
+    mom = SpectraMoments(n=jnp.asarray(state["n"]),
+                         mean=jnp.asarray(state["mean"]),
+                         scatter=jnp.asarray(state["scatter"]))
+    if length is not None and mom.mean.shape[-1] != length:
+        raise ValueError(
+            f"stored statistic is for L={mom.mean.shape[-1]} spectra, "
+            f"expected L={length}")
+    return mom
+
+
 def _validate_moment_methods(decision_type, t2_method, q_method):
     if t2_method not in MOMENT_T2_METHODS:
         raise ValueError(

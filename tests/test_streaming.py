@@ -96,6 +96,34 @@ def test_moments_masked_update(rng):
     assert float(m0.n) == float(mom.n)
 
 
+def test_moments_save_load_roundtrip(rng, tmp_path):
+    """Persisted statistics resume exactly (incl. stacked class axes);
+    length mismatch raises with the stored shape."""
+    from ocm_tpu.models.streaming import load_moments, save_moments
+
+    x = _stream(rng, n=70, length=32)
+    mom = moments_from(x)
+    p = str(tmp_path / "mom.msgpack")
+    save_moments(p, mom)
+    back = load_moments(p, length=32)
+    np.testing.assert_array_equal(np.asarray(back.scatter),
+                                  np.asarray(mom.scatter))
+    # resume the stream and match a never-saved run
+    more = _stream(rng, n=40, length=32)
+    np.testing.assert_allclose(
+        np.asarray(moments_update(back, more).scatter),
+        np.asarray(moments_update(mom, more).scatter), rtol=1e-12)
+    with pytest.raises(ValueError, match="L=32"):
+        load_moments(p, length=64)
+    # stacked per-class statistics persist as-is
+    moms = moments_init_classes(3, 32, jnp.float64)
+    moms = moments_update_classes(moms, x, np.zeros(70, int), [0, 1, 2])
+    save_moments(p, moms)
+    back_c = load_moments(p)
+    assert back_c.scatter.shape == (3, 32, 32)
+    np.testing.assert_array_equal(np.asarray(back_c.n), np.asarray(moms.n))
+
+
 def test_moments_empty_batch_is_noop(rng):
     """A B=0 batch (ragged producer) must not poison the statistic."""
     x = _stream(rng, n=30)
