@@ -1,0 +1,710 @@
+"""Unified command-line interface: ``python -m ocm_tpu <command>``.
+
+The reference's L5 layer is 14 hardcoded driver scripts (SURVEY.md
+section 2.2) run as ``python <script>.py`` with constants edited in the
+file.  This CLI is the framework-native replacement: one typed-flag
+entrypoint per workflow, each writing a reference-style run directory
+(``params.json`` / ``metrics.json`` / ``losses.json`` + deployable model
+artifacts — utils/final_vaesimca.py:316-322,449,593-604).
+
+Commands
+--------
+- ``info``          platform/device/flag report
+- ``simca``         classical SIMCA fit + evaluate (simca_new_cheese.py,
+                    simca_nuts.py)
+- ``cv``            fold x LV cross-validation sweep (utils/CVSIMCA.py)
+- ``train-vae``     train ConvVAE1D + fit decision thresholds
+                    (VAE_SIMCA.py / final_vaesimca.py training stage)
+- ``screen``        chunked serving of a saved model over a dataset
+- ``hpo``           TPE / random / ASHA / BOHB hyperparameter search
+                    (optim_bce_nuts.py)
+- ``ingest``        HSI cube -> HDF5 object store (nut_data.py)
+- ``export-torch``  OCMBundle -> reference-format .pth (inverse
+                    migration)
+
+Every data-consuming command accepts ``--data file.npz|file.mat`` or
+falls back to the shape-faithful synthetic datasets
+(``--synthetic cheese|nuts``, ocm_tpu/utils/synthetic.py).  ``--platform
+cpu`` forces the CPU backend (the hosted-TPU plugin is registered at
+import time; see CLAUDE.md environment notes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+# SIMCA model persistence: one msgpack per (possibly class-stacked)
+# model (models.simca.save_simca_model) plus a small meta json.
+SIMCA_MODEL_FILE = "simca_model.msgpack"
+SIMCA_META_JSON = "simca_meta.json"
+BUNDLE_FILE = "model_bundle.msgpack"
+
+
+# ---------------------------------------------------------------- data
+
+
+def _add_data_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data", default=None,
+                   help=".npz (x_train/y_train/x_test/y_test or x/y) or "
+                        "cheese-format .mat; default: synthetic")
+    p.add_argument("--synthetic", default="cheese",
+                   choices=["cheese", "nuts"],
+                   help="synthetic dataset family when --data is absent")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--snv", action="store_true",
+                   help="apply SNV row-normalization (simca_nuts.py:48-50)")
+    p.add_argument("--savgol", default=None, metavar="W,P,D",
+                   help="Savitzky-Golay window,polyorder,deriv "
+                        "(e.g. 15,2,1 — simca_new_cheese.py:34-39)")
+
+
+def load_dataset(data: Optional[str], synthetic: str = "cheese",
+                 seed: int = 42, test_size: float = 0.3):
+    """Return ``(x_train, y_train, x_test, y_test)`` as numpy arrays."""
+    if data:
+        if data.endswith(".npz"):
+            z = np.load(data)
+            if "x_train" in z:
+                return (np.asarray(z["x_train"]), np.asarray(z["y_train"]),
+                        np.asarray(z["x_test"]), np.asarray(z["y_test"]))
+            if "x" not in z or "y" not in z:
+                raise ValueError(
+                    f"{data}: expected keys x_train/y_train/x_test/y_test "
+                    f"or x/y, found {sorted(z.files)}")
+            x, y = np.asarray(z["x"]), np.asarray(z["y"])
+            rng = np.random.default_rng(seed)
+            perm = rng.permutation(len(y))
+            x, y = x[perm], y[perm]
+            n_tr = int(round((1.0 - test_size) * len(y)))
+            return x[:n_tr], y[:n_tr], x[n_tr:], y[n_tr:]
+        if data.endswith(".mat"):
+            from ocm_tpu.utils.io import load_cheese_mat
+
+            return load_cheese_mat(data)
+        raise ValueError(f"unsupported data file {data!r} (.npz or .mat)")
+
+    from ocm_tpu.utils import synthetic as S
+
+    if synthetic == "cheese":
+        return S.cheese_like(seed=seed)
+    data_by_class = S.nut_objects(seed=seed)
+    xs, ys = [], []
+    for i, nut in enumerate(S.NUT_TYPES):
+        block = np.concatenate(data_by_class[nut])
+        xs.append(block)
+        ys.append(np.full(len(block), i))
+    x, y = np.concatenate(xs), np.concatenate(ys)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(y))
+    x, y = x[perm], y[perm]
+    n_tr = int(round((1.0 - test_size) * len(y)))
+    return x[:n_tr], y[:n_tr], x[n_tr:], y[n_tr:]
+
+
+def _preprocess(args, *arrays):
+    import jax.numpy as jnp
+
+    from ocm_tpu.ops.preprocess import savgol_filter, snv
+
+    out = []
+    for x in arrays:
+        x = jnp.asarray(x)
+        if args.snv:
+            x = snv(x)
+        if args.savgol:
+            w, p, d = (int(v) for v in args.savgol.split(","))
+            x = savgol_filter(x, w, p, d)
+        out.append(np.asarray(x))
+    return out
+
+
+def _class_split(x, y, target_class: int, val_frac: float = 1 / 6):
+    """Target-class calibration/validation split (final_vaesimca.py:338)."""
+    x_cls = x[y == target_class]
+    if len(x_cls) == 0:
+        raise ValueError(f"no samples with label {target_class}")
+    n_val = max(int(len(x_cls) * val_frac), 4)
+    return x_cls[:-n_val], x_cls[-n_val:]
+
+
+def _binary_labels(y, target_class: int):
+    """0 = target, others = their own (>=1) labels for false-acceptance
+    reporting (utils/final_vaesimca.py:555-566)."""
+    return np.where(y == target_class, 0, np.maximum(y, 1)).astype(int)
+
+
+# ------------------------------------------------------------- helpers
+
+
+def _save_simca_model(out_dir: str, model, meta: dict) -> None:
+    from ocm_tpu.models.simca import save_simca_model
+    from ocm_tpu.utils.io import save_json
+
+    save_simca_model(os.path.join(out_dir, SIMCA_MODEL_FILE), model)
+    save_json(meta, out_dir, SIMCA_META_JSON)
+
+
+def _load_simca_model(model_dir: str):
+    from ocm_tpu.models.simca import load_simca_model
+    from ocm_tpu.utils.io import load_json
+
+    meta = load_json(model_dir, SIMCA_META_JSON)
+    return load_simca_model(os.path.join(model_dir, SIMCA_MODEL_FILE)), meta
+
+
+def _build_vae(arch: dict):
+    from ocm_tpu.models.vae import ConvVAE1D
+
+    return ConvVAE1D(input_length=int(arch["input_length"]),
+                     latent_dim=int(arch.get("latent_dim", 16)),
+                     conv_blocks=int(arch.get("conv_blocks", 3)),
+                     n_filters=int(arch.get("n_filters", 32)),
+                     kernel_size=int(arch.get("kernel_size", 9)),
+                     hidden_fc=int(arch.get("hidden_fc", 256)),
+                     dropout=float(arch.get("dropout", 0.0)),
+                     activation=arch.get("activation", "elu"))
+
+
+def _load_vae_dir(model_dir: str):
+    """Rebuild (model, bundle, params) from a train-vae/hpo run dir."""
+    import jax
+    import jax.numpy as jnp
+
+    from ocm_tpu.models import bundle as B
+    from ocm_tpu.models import vae as V
+    from ocm_tpu.utils.io import load_json
+
+    params_all = load_json(model_dir, "params.json")
+    arch = params_all["arch"]
+    model = _build_vae(arch)
+    net_params, bs = V.init_vae(model, jax.random.key(0))
+    length = int(arch["input_length"])
+    template = B.new_bundle(net_params, bs, jnp.zeros(length, jnp.float32),
+                            jnp.ones(length, jnp.float32), model.latent_dim)
+    bundle = B.load_bundle(os.path.join(model_dir, BUNDLE_FILE), template)
+    return model, bundle, params_all
+
+
+def _vae_metrics(accept, y_ts, target_class: int) -> dict:
+    import jax.numpy as jnp
+
+    from ocm_tpu.stats.metrics import vae_binary_metrics
+
+    y_bin = _binary_labels(y_ts, target_class)
+    pred = np.where(np.asarray(accept), 0, 1)
+    m = vae_binary_metrics(jnp.asarray(pred), jnp.asarray(y_bin),
+                           int(y_bin.max()) + 1)
+    return {"accuracy": float(m.accuracy), "precision": float(m.precision),
+            "recall": float(m.recall), "f1": float(m.f1),
+            "mean_false_acceptance": float(m.mean_false_acceptance)}
+
+
+# ------------------------------------------------------------ commands
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    import ocm_tpu
+
+    print(f"ocm_tpu {ocm_tpu.__version__}")
+    print(f"jax {jax.__version__} backend={jax.default_backend()}")
+    print(f"devices: {jax.devices()}")
+    print(f"x64: {jax.config.jax_enable_x64}")
+    return 0
+
+
+def cmd_simca(args) -> int:
+    from ocm_tpu.models.simca import SIMCA, fit_classes
+    from ocm_tpu.utils.io import save_json
+
+    x_tr, y_tr, x_ts, y_ts = load_dataset(args.data, args.synthetic,
+                                          args.seed)
+    x_tr, x_ts = _preprocess(args, x_tr, x_ts)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.all_classes:
+        labels = sorted(int(c) for c in np.unique(y_tr))
+        stacked = fit_classes(x_tr, y_tr, labels,
+                              n_components=args.n_components,
+                              decision_type=args.type,
+                              t2_method=args.t2lim, q_method=args.qlim,
+                              solver=args.solver)
+        _save_simca_model(args.out_dir, stacked,
+                          {"kind": "simca", "stacked": True,
+                           "class_labels": labels,
+                           "decision_type": args.type,
+                           "n_components": args.n_components,
+                           "t2lim": args.t2lim, "qlim": args.qlim})
+        from ocm_tpu.models.simca import predict_classes
+        from ocm_tpu.stats.metrics import conformity_metrics
+
+        import jax.numpy as jnp
+
+        accept, _, _, _ = predict_classes(stacked, x_ts,
+                                          decision_type=args.type)
+        metrics = {}
+        for i, cls in enumerate(labels):
+            m = conformity_metrics(jnp.asarray(y_ts),
+                                   jnp.asarray(accept[i]).astype(int), cls)
+            metrics[str(cls)] = {k: float(getattr(m, k)) for k in
+                                 ("sensitivity", "specificity", "accuracy",
+                                  "efficiency")}
+    else:
+        model = SIMCA(n_components=args.n_components,
+                      model_class=args.target_class, type=args.type,
+                      t2lim=args.t2lim, qlim=args.qlim, solver=args.solver,
+                      verbose=not args.quiet)
+        model.fit(x_tr, y_tr)
+        model.predict(x_ts, y_true=y_ts)
+        metrics = {str(args.target_class): model.metrics[args.target_class]}
+        fitted = model._model[args.target_class]
+        _save_simca_model(args.out_dir, fitted,
+                          {"kind": "simca", "stacked": False,
+                           "class_labels": [args.target_class],
+                           "decision_type": args.type,
+                           "n_components": args.n_components,
+                           "t2lim": args.t2lim, "qlim": args.qlim})
+        if args.plots:
+            from ocm_tpu.models.simca import reduced_train_distances
+            from ocm_tpu.utils.report import plot_t2q
+
+            t2red, qred = reduced_train_distances(fitted, args.type)
+            plot_t2q(np.asarray(t2red), np.asarray(qred),
+                     d_limit=float(fitted.d_limit), decision_type=args.type,
+                     title="train T2-Q",
+                     save_path=os.path.join(args.out_dir, "t2q_train.png"))
+
+    save_json(vars(args) | {"command": "simca"}, args.out_dir, "params.json")
+    save_json(metrics, args.out_dir, "metrics.json")
+    print(json.dumps(metrics, indent=2))
+    return 0
+
+
+def cmd_cv(args) -> int:
+    from ocm_tpu.models.cv import cv_simca_sweep
+    from ocm_tpu.utils.io import save_json
+
+    x_tr, y_tr, x_ts, y_ts = load_dataset(args.data, args.synthetic,
+                                          args.seed)
+    x_tr, x_ts = _preprocess(args, x_tr, x_ts)
+    lv_values = list(range(args.lv_min, args.lv_max + 1))
+    res = cv_simca_sweep(x_tr, y_tr, args.target_class, lv_values,
+                         n_splits=args.n_splits, decision_type=args.type,
+                         t2_method=args.t2lim, q_method=args.qlim,
+                         solver=args.solver)
+    scores = np.asarray(res[args.metric])
+    best_i = int(np.argmax(scores))
+    best_lv = lv_values[best_i]
+    os.makedirs(args.out_dir, exist_ok=True)
+    save_json(vars(args) | {"command": "cv"}, args.out_dir, "params.json")
+    save_json({"lv_values": lv_values,
+               "spec": np.asarray(res["spec"]),
+               "sens": np.asarray(res["sens"]),
+               "eff": np.asarray(res["eff"]),
+               "best_lv": best_lv, "metric": args.metric,
+               "best_score": float(scores[best_i])},
+              args.out_dir, "cv.json")
+    if args.plots:
+        from ocm_tpu.utils.report import plot_cv
+
+        plot_cv({"results": [{"LV": lv, "params": {},
+                              args.metric: float(scores[i])}
+                             for i, lv in enumerate(lv_values)],
+                 "best_LV": best_lv, "best_score": float(scores[best_i])},
+                metric=args.metric,
+                save_path=os.path.join(args.out_dir, "cv.png"))
+    if args.refit:
+        from ocm_tpu.models.simca import fit_simca
+
+        fitted = fit_simca(x_tr[y_tr == args.target_class], best_lv,
+                           decision_type=args.type, t2_method=args.t2lim,
+                           q_method=args.qlim,
+                           solver="svd" if args.solver == "eigh"
+                           else args.solver)
+        _save_simca_model(args.out_dir, fitted,
+                          {"kind": "simca", "stacked": False,
+                           "class_labels": [args.target_class],
+                           "decision_type": args.type,
+                           "n_components": best_lv,
+                           "t2lim": args.t2lim, "qlim": args.qlim})
+    print(f"best LV by {args.metric}: {best_lv} "
+          f"(score {float(scores[best_i]):.4f})")
+    return 0
+
+
+def cmd_train_vae(args) -> int:
+    import jax
+
+    from ocm_tpu.models import vae_decision as D
+    from ocm_tpu.models.bundle import save_bundle
+    from ocm_tpu.models.trainer import TrainConfig, train_vae
+    from ocm_tpu.utils.io import save_json
+
+    x_tr, y_tr, x_ts, y_ts = load_dataset(args.data, args.synthetic,
+                                          args.seed)
+    x_tr, x_ts = _preprocess(args, x_tr, x_ts)
+    x_cal, x_val = _class_split(x_tr, y_tr, args.target_class)
+
+    arch = {"input_length": int(x_tr.shape[1]),
+            "latent_dim": args.latent_dim, "conv_blocks": args.conv_blocks,
+            "n_filters": args.n_filters, "kernel_size": args.kernel_size,
+            "hidden_fc": args.hidden_fc, "dropout": args.dropout,
+            "activation": args.activation}
+    model = _build_vae(arch)
+    cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
+                      lr=args.lr, weight_decay=args.weight_decay,
+                      beta=args.beta, loss_type=args.loss_type)
+    result = train_vae(model, x_cal, x_val, cfg, jax.random.key(args.seed))
+    bundle = D.fit_thresholds(model, result.bundle, x_cal,
+                              loss_type=args.loss_type)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    save_json({"command": "train-vae", "arch": arch,
+               "train": {"epochs": args.epochs,
+                         "batch_size": args.batch_size, "lr": args.lr,
+                         "weight_decay": args.weight_decay,
+                         "beta": args.beta, "loss_type": args.loss_type},
+               "target_class": args.target_class, "seed": args.seed},
+              args.out_dir, "params.json")
+    save_json({"train_losses": np.asarray(result.train_losses),
+               "val_losses": np.asarray(result.val_losses),
+               "best_epoch": int(result.best_epoch)},
+              args.out_dir, "losses.json")
+    save_bundle(os.path.join(args.out_dir, BUNDLE_FILE), bundle)
+
+    import jax.numpy as jnp
+
+    metrics = {}
+    for variant in ("d2", "d2_q", "f", "full"):
+        if variant == "d2":
+            dec = D.decide_d2(model, bundle, jnp.asarray(x_ts))
+        elif variant == "d2_q":
+            dec = D.decide_d2_q(model, bundle, jnp.asarray(x_ts),
+                                args.loss_type)
+        elif variant == "f":
+            dec = D.decide_f(model, bundle, jnp.asarray(x_ts))
+        else:
+            dec = D.decide_full_distance(model, bundle, jnp.asarray(x_ts))
+        metrics[variant] = _vae_metrics(dec.accept, y_ts, args.target_class)
+    save_json(metrics, args.out_dir, "metrics.json")
+    print(json.dumps(metrics, indent=2))
+    return 0
+
+
+def cmd_screen(args) -> int:
+    import jax.numpy as jnp
+
+    from ocm_tpu.utils.io import save_json
+
+    x_tr, y_tr, x_ts, y_ts = load_dataset(args.data, args.synthetic,
+                                          args.seed)
+    x_tr, x_ts = _preprocess(args, x_tr, x_ts)
+    if args.use_train:
+        x_ts, y_ts = x_tr, y_tr
+
+    store_dtype = {None: None, "bf16": jnp.bfloat16, "int8": jnp.int8}[
+        args.store_dtype]
+    if os.path.exists(os.path.join(args.model_dir, SIMCA_MODEL_FILE)):
+        from ocm_tpu.serving import SIMCAScorer
+
+        model, meta = _load_simca_model(args.model_dir)
+        scorer = SIMCAScorer(model, decision_type=meta["decision_type"],
+                             chunk_size=args.chunk_size,
+                             store_dtype=store_dtype)
+        out = scorer.score(x_ts)
+        labels = meta["class_labels"]
+        accept = np.asarray(out["accept"])
+        metrics = None
+        if not args.no_metrics:
+            from ocm_tpu.stats.metrics import conformity_metrics
+
+            per_cls = accept.T if accept.ndim == 2 else accept[None, :]
+            metrics = {}
+            for i, cls in enumerate(labels):
+                m = conformity_metrics(jnp.asarray(y_ts),
+                                       jnp.asarray(per_cls[i]).astype(int),
+                                       cls)
+                metrics[str(cls)] = {k: float(getattr(m, k)) for k in
+                                     ("sensitivity", "specificity",
+                                      "accuracy", "efficiency")}
+    else:
+        from ocm_tpu.serving import VAEScorer
+
+        model, bundle, params_all = _load_vae_dir(args.model_dir)
+        scorer = VAEScorer(model, bundle, variant=args.variant,
+                           loss_type=params_all.get("train", {}).get(
+                               "loss_type", "cosine"),
+                           chunk_size=args.chunk_size,
+                           compute_dtype=(jnp.bfloat16 if args.store_dtype
+                                          == "bf16" else None))
+        out = scorer.score(x_ts)
+        metrics = None
+        if not args.no_metrics:
+            metrics = {args.variant: _vae_metrics(
+                out["accept"], y_ts,
+                int(params_all.get("target_class", 0)))}
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    np.savez(os.path.join(args.out_dir, "predictions.npz"),
+             **{k: np.asarray(v) for k, v in out.items()})
+    save_json(vars(args) | {"command": "screen"}, args.out_dir,
+              "params.json")
+    if metrics is not None:
+        save_json(metrics, args.out_dir, "metrics.json")
+        print(json.dumps(metrics, indent=2))
+    n = len(np.asarray(out["accept"]))
+    print(f"screened {n} spectra -> "
+          f"{os.path.join(args.out_dir, 'predictions.npz')}")
+    return 0
+
+
+def cmd_hpo(args) -> int:
+    from ocm_tpu.models.bundle import save_bundle
+    from ocm_tpu.utils.io import save_json
+
+    x_tr, y_tr, _, _ = load_dataset(args.data, args.synthetic, args.seed)
+    (x_tr,) = _preprocess(args, x_tr)
+    x_cal, x_val = _class_split(x_tr, y_tr, args.target_class)
+
+    space = None
+    if args.space:
+        with open(args.space) as f:
+            raw = json.load(f)
+        # JSON file: {"lr": ["loguniform", 1e-4, 1e-2],
+        #             "batch_size": ["categorical", [32, 64]]}
+        space = {k: tuple(v) for k, v in raw.items()}
+
+    base = {"loss_type": args.loss_type}
+    if args.algo == "tpe":
+        from ocm_tpu.utils.tpe import tpe_vae_search
+
+        res = tpe_vae_search(x_cal, x_val, space=space,
+                             n_trials=args.n_trials,
+                             max_epochs=args.max_epochs, seed=args.seed,
+                             base_config=base, verbose=not args.quiet)
+    elif args.algo == "asha":
+        from ocm_tpu.utils.sweep import asha_vae_search
+
+        res = asha_vae_search(x_cal, x_val, space=space,
+                              n_trials=args.n_trials,
+                              max_epochs=args.max_epochs, seed=args.seed,
+                              base_config=base, verbose=not args.quiet)
+    else:
+        from ocm_tpu.utils.tpe import bohb_vae_search
+
+        res = bohb_vae_search(x_cal, x_val, space=space,
+                              max_epochs=args.max_epochs, seed=args.seed,
+                              base_config=base, verbose=not args.quiet)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    best_cfg = dict(res["best_config"])
+    arch = {"input_length": int(x_tr.shape[1]),
+            "latent_dim": int(best_cfg.get("latent_dim", 16)),
+            "conv_blocks": int(best_cfg.get("conv_blocks", 3)),
+            "n_filters": int(best_cfg.get("n_filters", 32)),
+            "kernel_size": int(best_cfg.get("kernel_size", 9)),
+            "hidden_fc": int(best_cfg.get("hidden_fc", 256)),
+            "dropout": float(best_cfg.get("dropout", 0.0)),
+            "activation": best_cfg.get("activation", "elu")}
+    save_json({"command": "hpo", "algo": args.algo, "arch": arch,
+               "train": {"loss_type": args.loss_type},
+               "target_class": args.target_class,
+               "best_config": best_cfg,
+               "best_value": float(res["best_value"]),
+               "total_epochs": int(res["total_epochs"])},
+              args.out_dir, "params.json")
+    save_json({"history": res["history"]}, args.out_dir, "trials.json")
+    if res.get("best_bundle") is not None:
+        from ocm_tpu.models import vae_decision as D
+
+        bundle = D.fit_thresholds(_build_vae(arch), res["best_bundle"],
+                                  x_cal, loss_type=args.loss_type)
+        save_bundle(os.path.join(args.out_dir, BUNDLE_FILE), bundle)
+    print(f"best {args.algo} config: {best_cfg} "
+          f"(val loss {float(res['best_value']):.5f}, "
+          f"{int(res['total_epochs'])} total epochs)")
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from ocm_tpu.utils.io import extract_objects, write_object_store
+
+    # write_object_store wants class -> list of images, each a list of
+    # object dicts from extract_objects (the nut_data.py HDF5 schema)
+    data = {}
+    if args.cube:
+        for spec in args.cube:
+            if "=" not in spec:
+                raise SystemExit(f"--cube expects class=path, got {spec!r}")
+            cls, path = spec.split("=", 1)
+            cube = np.load(path)
+            data.setdefault(cls, []).append(
+                extract_objects(cube, args.background_threshold,
+                                min_pixels=args.min_pixels))
+    else:
+        from ocm_tpu.utils import synthetic as S
+
+        for i, nut in enumerate(S.NUT_TYPES):
+            data[nut] = [
+                extract_objects(S.nut_cube(seed=100 * i + img, nut_idx=i),
+                                args.background_threshold,
+                                min_pixels=args.min_pixels)
+                for img in range(args.images_per_class)]
+    write_object_store(args.out, data)
+    n_obj = sum(len(objs) for v in data.values() for objs in v)
+    n_px = sum(o["n_pixels"] for v in data.values() for objs in v
+               for o in objs)
+    print(f"wrote {args.out}: {len(data)} classes, {n_obj} objects, "
+          f"{n_px} pixel spectra")
+    return 0
+
+
+def cmd_export_torch(args) -> int:
+    from ocm_tpu.models.torch_export import save_torch_checkpoint
+
+    model, bundle, _ = _load_vae_dir(args.model_dir)
+    path = save_torch_checkpoint(args.out, bundle, model)
+    print(f"wrote reference-format checkpoint: {path}")
+    return 0
+
+
+# --------------------------------------------------------------- parser
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m ocm_tpu",
+        description="TPU-native one-class chemometrics framework CLI")
+    p.add_argument("--platform", default=None,
+                   choices=["cpu", "tpu"],
+                   help="force a JAX backend (default: environment)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("info", help="platform/device report")
+
+    ps = sub.add_parser("simca", help="classical SIMCA fit + evaluate")
+    _add_data_args(ps)
+    ps.add_argument("--target-class", type=int, default=0)
+    ps.add_argument("--all-classes", action="store_true",
+                    help="fit every class as one vmapped program")
+    ps.add_argument("--n-components", type=int, default=10)
+    ps.add_argument("--type", default="alt",
+                    choices=["sim", "alt", "ci", "dd"])
+    ps.add_argument("--t2lim", default="Fdist")
+    ps.add_argument("--qlim", default="jm")
+    ps.add_argument("--solver", default="svd",
+                    choices=["svd", "eigh", "rsvd"])
+    ps.add_argument("--plots", action="store_true")
+    ps.add_argument("--quiet", action="store_true")
+    ps.add_argument("--out-dir", default="out/cli_simca")
+
+    pc = sub.add_parser("cv", help="fold x LV cross-validation sweep")
+    _add_data_args(pc)
+    pc.add_argument("--target-class", type=int, default=0)
+    pc.add_argument("--lv-min", type=int, default=2)
+    pc.add_argument("--lv-max", type=int, default=10)
+    pc.add_argument("--n-splits", type=int, default=5)
+    pc.add_argument("--type", default="alt",
+                    choices=["sim", "alt", "ci", "dd"])
+    pc.add_argument("--t2lim", default="Fdist")
+    pc.add_argument("--qlim", default="jm")
+    pc.add_argument("--solver", default="eigh", choices=["eigh", "rsvd"])
+    pc.add_argument("--metric", default="eff",
+                    choices=["eff", "spec", "sens"])
+    pc.add_argument("--refit", action="store_true",
+                    help="refit at the best LV and save the model")
+    pc.add_argument("--plots", action="store_true")
+    pc.add_argument("--out-dir", default="out/cli_cv")
+
+    pt = sub.add_parser("train-vae", help="train ConvVAE1D + thresholds")
+    _add_data_args(pt)
+    pt.add_argument("--target-class", type=int, default=0)
+    pt.add_argument("--epochs", type=int, default=100)
+    pt.add_argument("--batch-size", type=int, default=64)
+    pt.add_argument("--lr", type=float, default=1e-3)
+    pt.add_argument("--weight-decay", type=float, default=0.0)
+    pt.add_argument("--beta", type=float, default=1.0)
+    pt.add_argument("--loss-type", default="cosine",
+                    choices=["cosine", "bce", "euclidean", "bce_prob"])
+    pt.add_argument("--latent-dim", type=int, default=16)
+    pt.add_argument("--conv-blocks", type=int, default=3)
+    pt.add_argument("--n-filters", type=int, default=32)
+    pt.add_argument("--kernel-size", type=int, default=9)
+    pt.add_argument("--hidden-fc", type=int, default=256)
+    pt.add_argument("--dropout", type=float, default=0.0)
+    pt.add_argument("--activation", default="elu")
+    pt.add_argument("--out-dir", default="out/cli_vae")
+
+    pr = sub.add_parser("screen", help="serve a saved model over a dataset")
+    _add_data_args(pr)
+    pr.add_argument("--model-dir", required=True,
+                    help="a simca/cv --refit/train-vae/hpo output dir")
+    pr.add_argument("--variant", default="d2",
+                    choices=["d2", "d2_q", "f", "full"],
+                    help="VAE decision variant (ignored for SIMCA models)")
+    pr.add_argument("--store-dtype", default=None,
+                    choices=["bf16", "int8"],
+                    help="quantized serving (SIMCA store / VAE compute)")
+    pr.add_argument("--chunk-size", type=int, default=8192)
+    pr.add_argument("--use-train", action="store_true",
+                    help="screen the training split instead of test")
+    pr.add_argument("--no-metrics", action="store_true")
+    pr.add_argument("--out-dir", default="out/cli_screen")
+
+    ph = sub.add_parser("hpo", help="hyperparameter search")
+    _add_data_args(ph)
+    ph.add_argument("--target-class", type=int, default=0)
+    ph.add_argument("--algo", default="tpe",
+                    choices=["tpe", "asha", "bohb"])
+    ph.add_argument("--n-trials", type=int, default=16)
+    ph.add_argument("--max-epochs", type=int, default=27)
+    ph.add_argument("--loss-type", default="cosine")
+    ph.add_argument("--space", default=None,
+                    help="JSON file: name -> [kind, lo, hi] or "
+                         "[categorical, [choices]]")
+    ph.add_argument("--quiet", action="store_true")
+    ph.add_argument("--out-dir", default="out/cli_hpo")
+
+    pi = sub.add_parser("ingest", help="HSI cubes -> HDF5 object store")
+    pi.add_argument("--cube", action="append", default=None,
+                    metavar="CLASS=cube.npy",
+                    help="repeatable; omit for synthetic cubes")
+    pi.add_argument("--images-per-class", type=int, default=2)
+    pi.add_argument("--background-threshold", type=float, default=0.35)
+    pi.add_argument("--min-pixels", type=int, default=8)
+    pi.add_argument("--out", default="out/object_store.h5")
+
+    pe = sub.add_parser("export-torch",
+                        help="OCMBundle -> reference-format .pth")
+    pe.add_argument("--model-dir", required=True)
+    pe.add_argument("--out", default="out/model.pth")
+
+    return p
+
+
+COMMANDS = {"info": cmd_info, "simca": cmd_simca, "cv": cmd_cv,
+            "train-vae": cmd_train_vae, "screen": cmd_screen,
+            "hpo": cmd_hpo, "ingest": cmd_ingest,
+            "export-torch": cmd_export_torch}
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        # env var alone is ignored once the axon plugin registered; the
+        # config update after import is the working override (CLAUDE.md).
+        jax.config.update("jax_platforms", args.platform)
+    return COMMANDS[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -722,3 +722,41 @@ class SIMCA:
             "efficiency": float(m.efficiency),
             "TP": int(m.tp), "TN": int(m.tn), "FP": int(m.fp), "FN": int(m.fn),
         }
+
+
+def save_simca_model(path: str, model: SIMCAModel) -> str:
+    """Persist a (possibly class-stacked) ``SIMCAModel`` to one msgpack
+    file, template-free.
+
+    The reference has no SIMCA persistence at all — every driver refits
+    from raw data on each run (utils/SIMCA.py holds models only as
+    in-memory dicts).  Nested ``LimitResult`` fields are stored as
+    sub-dicts so ``load_simca_model`` can rebuild the exact pytree
+    without a shape template (unlike bundle.load_bundle, whose flax
+    param dict genuinely needs one).
+    """
+    from flax import serialization
+
+    tree = {}
+    for f in model._fields:
+        v = getattr(model, f)
+        tree[f] = ({k: np.asarray(a) for k, a in v._asdict().items()}
+                   if isinstance(v, L.LimitResult) else np.asarray(v))
+    with open(path, "wb") as fh:
+        fh.write(serialization.msgpack_serialize(tree))
+    return path
+
+
+def load_simca_model(path: str) -> SIMCAModel:
+    """Inverse of ``save_simca_model`` (no template required)."""
+    from flax import serialization
+
+    with open(path, "rb") as fh:
+        tree = serialization.msgpack_restore(fh.read())
+    kwargs = {}
+    for f in SIMCAModel._fields:
+        v = tree[f]
+        kwargs[f] = (L.LimitResult(**{k: jnp.asarray(a)
+                                      for k, a in v.items()})
+                     if isinstance(v, dict) else jnp.asarray(v))
+    return SIMCAModel(**kwargs)

@@ -1,0 +1,189 @@
+"""CLI tests: ``python -m ocm_tpu`` subcommands run in-process on tiny
+synthetic data; every command's run-dir artifacts are checked and the
+screen command's decisions are verified against the direct API.
+
+The reference's L5 layer is plain scripts with hardcoded constants
+(SURVEY.md section 2.2); the CLI replaces them, so these tests are the
+driver-surface regression suite.
+"""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocm_tpu import cli
+from ocm_tpu.utils.synthetic import cheese_like
+
+
+@pytest.fixture(scope="module")
+def tiny_npz(tmp_path_factory):
+    """A small 3-class dataset in the x_train/... npz layout."""
+    x_tr, y_tr, x_ts, y_ts = cheese_like(seed=3, n_per_class=40, length=64,
+                                         n_classes=3)
+    path = tmp_path_factory.mktemp("data") / "tiny.npz"
+    np.savez(path, x_train=x_tr, y_train=y_tr, x_test=x_ts, y_test=y_ts)
+    return str(path)
+
+
+def _load_json(run_dir, name):
+    with open(os.path.join(run_dir, name)) as f:
+        return json.load(f)
+
+
+def test_load_dataset_npz_forms(tmp_path):
+    x = np.random.default_rng(0).normal(size=(50, 16))
+    y = np.repeat([0, 1], 25)
+    p_xy = tmp_path / "xy.npz"
+    np.savez(p_xy, x=x, y=y)
+    x_tr, y_tr, x_ts, y_ts = cli.load_dataset(str(p_xy), seed=0)
+    assert len(x_tr) + len(x_ts) == 50
+    assert x_tr.shape[1] == 16
+
+    p_bad = tmp_path / "bad.npz"
+    np.savez(p_bad, foo=x)
+    with pytest.raises(ValueError, match="expected keys"):
+        cli.load_dataset(str(p_bad))
+    with pytest.raises(ValueError, match="unsupported data file"):
+        cli.load_dataset("data.csv")
+
+
+def test_simca_fit_and_screen(tiny_npz, tmp_path):
+    fit_dir = str(tmp_path / "fit")
+    rc = cli.main(["simca", "--data", tiny_npz, "--n-components", "5",
+                   "--quiet", "--out-dir", fit_dir])
+    assert rc == 0
+    metrics = _load_json(fit_dir, "metrics.json")
+    assert metrics["0"]["sensitivity"] > 80.0
+    assert os.path.exists(os.path.join(fit_dir, cli.SIMCA_MODEL_FILE))
+
+    screen_dir = str(tmp_path / "screen")
+    rc = cli.main(["screen", "--data", tiny_npz, "--model-dir", fit_dir,
+                   "--out-dir", screen_dir])
+    assert rc == 0
+    preds = np.load(os.path.join(screen_dir, "predictions.npz"))
+    z = np.load(tiny_npz)
+    assert len(preds["accept"]) == len(z["x_test"])
+
+    # screen decisions match the direct API on the same model file
+    from ocm_tpu.models.simca import load_simca_model, simca_decide
+
+    model = load_simca_model(os.path.join(fit_dir, cli.SIMCA_MODEL_FILE))
+    accept, _, _, _ = simca_decide(model, jnp.asarray(z["x_test"]), "alt")
+    np.testing.assert_array_equal(np.asarray(accept),
+                                  preds["accept"].astype(bool))
+
+
+def test_simca_model_save_load_roundtrip(tiny_npz, tmp_path):
+    from ocm_tpu.models.simca import (fit_simca, load_simca_model,
+                                      save_simca_model)
+
+    z = np.load(tiny_npz)
+    x_cls = z["x_train"][z["y_train"] == 0]
+    model = fit_simca(jnp.asarray(x_cls), 4)
+    path = str(tmp_path / "m.msgpack")
+    save_simca_model(path, model)
+    loaded = load_simca_model(path)
+    for f in model._fields:
+        np.testing.assert_array_equal(
+            np.asarray(jnp.asarray(getattr(model, f))),
+            np.asarray(jnp.asarray(getattr(loaded, f))), err_msg=f)
+
+
+def test_simca_all_classes_stacked_screen(tiny_npz, tmp_path):
+    fit_dir = str(tmp_path / "fit_all")
+    rc = cli.main(["simca", "--data", tiny_npz, "--all-classes",
+                   "--n-components", "5", "--solver", "rsvd",
+                   "--out-dir", fit_dir])
+    assert rc == 0
+    meta = _load_json(fit_dir, cli.SIMCA_META_JSON)
+    assert meta["stacked"] and meta["class_labels"] == [0, 1, 2]
+
+    screen_dir = str(tmp_path / "screen_all")
+    rc = cli.main(["screen", "--data", tiny_npz, "--model-dir", fit_dir,
+                   "--store-dtype", "int8", "--out-dir", screen_dir])
+    assert rc == 0
+    preds = np.load(os.path.join(screen_dir, "predictions.npz"))
+    assert preds["accept"].shape[1] == 3
+    metrics = _load_json(screen_dir, "metrics.json")
+    assert set(metrics) == {"0", "1", "2"}
+
+
+def test_cv_refit_and_plot(tiny_npz, tmp_path):
+    out = str(tmp_path / "cv")
+    rc = cli.main(["cv", "--data", tiny_npz, "--lv-min", "2", "--lv-max",
+                   "4", "--n-splits", "3", "--refit", "--plots",
+                   "--out-dir", out])
+    assert rc == 0
+    res = _load_json(out, "cv.json")
+    assert res["lv_values"] == [2, 3, 4]
+    assert res["best_lv"] in (2, 3, 4)
+    assert len(res["eff"]) == 3
+    assert os.path.exists(os.path.join(out, "cv.png"))
+    meta = _load_json(out, cli.SIMCA_META_JSON)
+    assert meta["n_components"] == res["best_lv"]
+
+
+def test_train_vae_screen_export(tiny_npz, tmp_path):
+    train_dir = str(tmp_path / "vae")
+    rc = cli.main(["train-vae", "--data", tiny_npz, "--epochs", "3",
+                   "--batch-size", "16", "--latent-dim", "4",
+                   "--conv-blocks", "2", "--n-filters", "4",
+                   "--hidden-fc", "16", "--out-dir", train_dir])
+    assert rc == 0
+    params = _load_json(train_dir, "params.json")
+    assert params["arch"]["input_length"] == 64
+    losses = _load_json(train_dir, "losses.json")
+    assert len(losses["train_losses"]) == 3
+    metrics = _load_json(train_dir, "metrics.json")
+    assert set(metrics) == {"d2", "d2_q", "f", "full"}
+
+    screen_dir = str(tmp_path / "vscreen")
+    rc = cli.main(["screen", "--data", tiny_npz, "--model-dir", train_dir,
+                   "--variant", "d2", "--out-dir", screen_dir])
+    assert rc == 0
+    preds = np.load(os.path.join(screen_dir, "predictions.npz"))
+    z = np.load(tiny_npz)
+    assert len(preds["accept"]) == len(z["x_test"])
+    # the screen metrics reproduce the train-time d2 metrics (same data)
+    sm = _load_json(screen_dir, "metrics.json")
+    assert sm["d2"] == pytest.approx(metrics["d2"], abs=1e-6)
+
+    torch = pytest.importorskip("torch")
+    pth = str(tmp_path / "model.pth")
+    rc = cli.main(["export-torch", "--model-dir", train_dir, "--out", pth])
+    assert rc == 0
+    state = torch.load(pth, map_location="cpu", weights_only=False)
+    assert any(k.startswith("enc") or "fc_mu" in k for k in state)
+
+
+def test_ingest_object_store(tmp_path):
+    out = str(tmp_path / "store.h5")
+    rc = cli.main(["ingest", "--images-per-class", "1", "--out", out])
+    assert rc == 0
+    from ocm_tpu.utils.io import read_object_store
+
+    data = read_object_store(out)
+    assert len(data) == 5
+    assert all(objs and objs[0]["spectral_data"].shape[1] == 288
+               for objs in data.values())
+
+
+def test_hpo_tpe_tiny(tiny_npz, tmp_path):
+    out = str(tmp_path / "hpo")
+    space = tmp_path / "space.json"
+    space.write_text(json.dumps({
+        "latent_dim": ["int", 3, 6],
+        "lr": ["loguniform", 1e-4, 1e-2],
+    }))
+    rc = cli.main(["hpo", "--data", tiny_npz, "--algo", "tpe",
+                   "--n-trials", "2", "--max-epochs", "2",
+                   "--space", str(space), "--quiet", "--out-dir", out])
+    assert rc == 0
+    params = _load_json(out, "params.json")
+    assert 3 <= params["best_config"]["latent_dim"] <= 6
+    trials = _load_json(out, "trials.json")
+    assert len(trials["history"]) == 2
+    assert os.path.exists(os.path.join(out, cli.BUNDLE_FILE))
