@@ -21,6 +21,11 @@ Commands
 - ``ingest``        HSI cube -> HDF5 object store (nut_data.py)
 - ``export-torch``  OCMBundle -> reference-format .pth (inverse
                     migration)
+- ``stream-update`` ingest a dataset chunk into a persisted streaming
+                    statistic (models/streaming.py; no reference
+                    counterpart — it refits from the full matrix)
+- ``stream-fit``    fit a servable SIMCA model dir from the statistic
+- ``plsda``         multi-class PLS-DA baseline (data_cheese.py EDA)
 
 Every data-consuming command accepts ``--data file.npz|file.mat`` or
 falls back to the shape-faithful synthetic datasets
@@ -533,6 +538,161 @@ def cmd_hpo(args) -> int:
     return 0
 
 
+def _moments_meta_path(moments_path: str) -> str:
+    return moments_path + ".meta.json"
+
+
+def cmd_stream_update(args) -> int:
+    """Ingest one dataset chunk into a persisted streaming statistic
+    (models/streaming.py — the TPU-only capability the reference lacks:
+    it can only refit from the full matrix in memory)."""
+    import jax.numpy as jnp
+
+    from ocm_tpu.models import streaming as ST
+
+    x_tr, y_tr, x_ts, y_ts = load_dataset(args.data, args.synthetic,
+                                          args.seed)
+    if args.split == "train":
+        x, y = x_tr, y_tr
+    elif args.split == "test":
+        x, y = x_ts, y_ts
+    else:
+        x = np.concatenate([x_tr, x_ts])
+        y = np.concatenate([y_tr, y_ts])
+    (x,) = _preprocess(args, x)
+
+    class_labels = None
+    if args.class_labels:
+        class_labels = [int(c) for c in args.class_labels.split(",")]
+
+    length = x.shape[1]
+    if os.path.exists(args.moments):
+        mom = ST.load_moments(args.moments, length=length)
+        if os.path.exists(_moments_meta_path(args.moments)):
+            with open(_moments_meta_path(args.moments)) as f:
+                stored = json.load(f)["class_labels"]
+            if class_labels is not None and class_labels != stored:
+                raise SystemExit(
+                    f"--class-labels {class_labels} does not match the "
+                    f"existing statistic's {stored}")
+            class_labels = stored
+        elif class_labels is not None:
+            raise SystemExit(
+                f"{args.moments} is a single-class statistic; it cannot "
+                "take --class-labels")
+    elif class_labels is not None:
+        mom = ST.moments_init_classes(len(class_labels), length)
+    else:
+        mom = ST.moments_init(length)
+
+    if class_labels is not None:
+        mom = ST.moments_update_classes(mom, jnp.asarray(x), y,
+                                        class_labels)
+        counts = [int(c) for c in np.asarray(mom.n)]
+        total = sum(counts)
+    else:
+        if args.target_class is not None:
+            x = x[y == args.target_class]
+        mom = ST.moments_update(mom, jnp.asarray(x))
+        counts, total = None, int(np.asarray(mom.n))
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.moments)),
+                exist_ok=True)
+    ST.save_moments(args.moments, mom)
+    if class_labels is not None:
+        with open(_moments_meta_path(args.moments), "w") as f:
+            json.dump({"class_labels": class_labels}, f)
+        print(f"ingested {len(x)} rows -> {args.moments}: "
+              f"per-class counts {dict(zip(class_labels, counts))}")
+    else:
+        print(f"ingested {len(x)} rows -> {args.moments}: total n={total}")
+    return 0
+
+
+def cmd_stream_fit(args) -> int:
+    """Fit a servable SIMCA model directory from a streaming statistic
+    alone (exact for every moment-derived limit; screen consumes the
+    output dir like any simca/cv run dir)."""
+    from ocm_tpu.models import streaming as ST
+    from ocm_tpu.utils.io import save_json
+
+    mom = ST.load_moments(args.moments)
+    stacked = np.asarray(mom.mean).ndim == 2
+    kwargs = dict(decision_type=args.type, t2_method=args.t2lim,
+                  q_method=args.qlim, solver=args.solver)
+    if stacked:
+        if os.path.exists(_moments_meta_path(args.moments)):
+            with open(_moments_meta_path(args.moments)) as f:
+                class_labels = json.load(f)["class_labels"]
+        else:
+            class_labels = list(range(np.asarray(mom.mean).shape[0]))
+        model = ST.fit_classes_moments(mom, args.n_components, **kwargs)
+    else:
+        class_labels = [args.target_class]
+        model = ST.fit_simca_moments(mom, args.n_components, **kwargs)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    _save_simca_model(args.out_dir, model,
+                      {"kind": "simca", "stacked": stacked,
+                       "class_labels": class_labels,
+                       "decision_type": args.type,
+                       "n_components": args.n_components,
+                       "t2lim": args.t2lim, "qlim": args.qlim,
+                       "streaming": True})
+    save_json(vars(args) | {"command": "stream-fit"}, args.out_dir,
+              "params.json")
+    n = np.asarray(mom.n)
+    print(f"fitted {'stacked ' if stacked else ''}model from "
+          f"n={n.tolist() if stacked else int(n)} streamed spectra -> "
+          f"{args.out_dir}")
+    return 0
+
+
+def cmd_plsda(args) -> int:
+    """Multi-class PLS-DA baseline: CV F1 curve -> best-k refit -> test
+    confusion (the reference's data_cheese.py:193-280 EDA stage)."""
+    from ocm_tpu.models.plsda import plsda_f1_curves, plsda_fit_predict
+    from ocm_tpu.utils.io import save_json
+
+    x_tr, y_tr, x_ts, y_ts = load_dataset(args.data, args.synthetic,
+                                          args.seed)
+    x_tr, x_ts = _preprocess(args, x_tr, x_ts)
+    max_k = min(args.max_components, x_tr.shape[1],
+                len(x_tr) - len(x_tr) // args.n_folds - 1)
+    curves = plsda_f1_curves(x_tr, y_tr, max_components=max_k,
+                             n_folds=args.n_folds, random_state=args.seed)
+    best_k = curves["best_n_components"]
+    res = plsda_fit_predict(x_tr, y_tr, x_ts, y_ts, best_k)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    save_json(vars(args) | {"command": "plsda"}, args.out_dir,
+              "params.json")
+    save_json({"f1_cal": curves["f1_cal"], "f1_cv": curves["f1_cv"],
+               "best_n_components": best_k}, args.out_dir, "cv.json")
+    save_json({"best_n_components": best_k, "f1_test": res.f1_test,
+               "confusion": res.confusion.tolist()},
+              args.out_dir, "metrics.json")
+    if args.plots:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        ks = np.arange(1, max_k + 1)
+        fig, ax = plt.subplots(figsize=(7, 4))
+        ax.plot(ks, curves["f1_cal"], label="calibration")
+        ax.plot(ks, curves["f1_cv"], label=f"{args.n_folds}-fold CV")
+        ax.axvline(best_k, ls="--", c="gray", label=f"best k={best_k}")
+        ax.set_xlabel("PLS components")
+        ax.set_ylabel("macro F1")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(os.path.join(args.out_dir, "plsda_f1.png"), dpi=120)
+        plt.close(fig)
+    print(f"best k={best_k}, test macro-F1={res.f1_test:.4f}")
+    return 0
+
+
 def cmd_ingest(args) -> int:
     from ocm_tpu.utils.io import extract_objects, write_object_store
 
@@ -672,6 +832,43 @@ def build_parser() -> argparse.ArgumentParser:
     ph.add_argument("--quiet", action="store_true")
     ph.add_argument("--out-dir", default="out/cli_hpo")
 
+    pu = sub.add_parser("stream-update",
+                        help="ingest a dataset chunk into a streaming "
+                             "statistic")
+    _add_data_args(pu)
+    pu.add_argument("--moments", required=True,
+                    help="statistic file (msgpack); created if absent")
+    pu.add_argument("--split", default="train",
+                    choices=["train", "test", "all"],
+                    help="which slice of the dataset to ingest")
+    pu.add_argument("--target-class", type=int, default=None,
+                    help="ingest only rows with this label "
+                         "(single-class stream)")
+    pu.add_argument("--class-labels", default=None, metavar="0,1,2",
+                    help="comma-separated labels for a stacked per-class "
+                         "stream (one vmapped ingest per chunk)")
+
+    pf = sub.add_parser("stream-fit",
+                        help="fit a servable SIMCA model from a "
+                             "streaming statistic")
+    pf.add_argument("--moments", required=True)
+    pf.add_argument("--target-class", type=int, default=0,
+                    help="label recorded for a single-class statistic")
+    pf.add_argument("--n-components", type=int, default=10)
+    pf.add_argument("--type", default="alt", choices=["sim", "alt", "ci"])
+    pf.add_argument("--t2lim", default="Fdist",
+                    choices=["Fdist", "Fdistrig", "chi2"])
+    pf.add_argument("--qlim", default="jm", choices=["jm", "chi2box"])
+    pf.add_argument("--solver", default="eigh", choices=["eigh", "rsvd"])
+    pf.add_argument("--out-dir", default="out/cli_stream")
+
+    pp = sub.add_parser("plsda", help="multi-class PLS-DA baseline")
+    _add_data_args(pp)
+    pp.add_argument("--max-components", type=int, default=25)
+    pp.add_argument("--n-folds", type=int, default=5)
+    pp.add_argument("--plots", action="store_true")
+    pp.add_argument("--out-dir", default="out/cli_plsda")
+
     pi = sub.add_parser("ingest", help="HSI cubes -> HDF5 object store")
     pi.add_argument("--cube", action="append", default=None,
                     metavar="CLASS=cube.npy",
@@ -692,7 +889,9 @@ def build_parser() -> argparse.ArgumentParser:
 COMMANDS = {"info": cmd_info, "simca": cmd_simca, "cv": cmd_cv,
             "train-vae": cmd_train_vae, "screen": cmd_screen,
             "hpo": cmd_hpo, "ingest": cmd_ingest,
-            "export-torch": cmd_export_torch}
+            "export-torch": cmd_export_torch,
+            "stream-update": cmd_stream_update,
+            "stream-fit": cmd_stream_fit, "plsda": cmd_plsda}
 
 
 def main(argv=None) -> int:

@@ -171,6 +171,88 @@ def test_ingest_object_store(tmp_path):
                for objs in data.values())
 
 
+def test_stream_update_fit_screen(tiny_npz, tmp_path):
+    """Two-chunk streamed calibration == fit_simca_moments on the full
+    stream; the stream-fit run dir serves through screen."""
+    mom_path = str(tmp_path / "state.msgpack")
+    # chunk 1: train split, chunk 2: test split (same class filter)
+    for split in ("train", "test"):
+        rc = cli.main(["stream-update", "--data", tiny_npz,
+                       "--moments", mom_path, "--split", split,
+                       "--target-class", "0"])
+        assert rc == 0
+
+    fit_dir = str(tmp_path / "sfit")
+    rc = cli.main(["stream-fit", "--moments", mom_path,
+                   "--n-components", "5", "--out-dir", fit_dir])
+    assert rc == 0
+    meta = _load_json(fit_dir, cli.SIMCA_META_JSON)
+    assert meta["streaming"] and meta["class_labels"] == [0]
+
+    # parity with the direct API on the concatenated stream
+    from ocm_tpu.models.simca import load_simca_model
+    from ocm_tpu.models.streaming import fit_simca_moments, moments_from
+
+    z = np.load(tiny_npz)
+    x_all = np.concatenate([z["x_train"][z["y_train"] == 0],
+                            z["x_test"][z["y_test"] == 0]])
+    direct = fit_simca_moments(moments_from(jnp.asarray(x_all)), 5)
+    loaded = load_simca_model(os.path.join(fit_dir, cli.SIMCA_MODEL_FILE))
+    np.testing.assert_allclose(np.asarray(loaded.mean),
+                               np.asarray(direct.mean), rtol=1e-5)
+    np.testing.assert_allclose(float(loaded.d_limit),
+                               float(direct.d_limit), rtol=1e-5)
+
+    screen_dir = str(tmp_path / "sscreen")
+    rc = cli.main(["screen", "--data", tiny_npz, "--model-dir", fit_dir,
+                   "--out-dir", screen_dir])
+    assert rc == 0
+    metrics = _load_json(screen_dir, "metrics.json")
+    assert metrics["0"]["sensitivity"] > 80.0
+
+
+def test_stream_stacked_classes(tiny_npz, tmp_path):
+    mom_path = str(tmp_path / "stacked.msgpack")
+    rc = cli.main(["stream-update", "--data", tiny_npz,
+                   "--moments", mom_path, "--class-labels", "0,1,2"])
+    assert rc == 0
+    # meta mismatch on a later chunk is rejected
+    with pytest.raises(SystemExit):
+        cli.main(["stream-update", "--data", tiny_npz,
+                  "--moments", mom_path, "--class-labels", "0,1"])
+    rc = cli.main(["stream-update", "--data", tiny_npz,
+                   "--moments", mom_path, "--split", "test"])
+    assert rc == 0
+
+    fit_dir = str(tmp_path / "stfit")
+    rc = cli.main(["stream-fit", "--moments", mom_path, "--solver",
+                   "rsvd", "--n-components", "5", "--out-dir", fit_dir])
+    assert rc == 0
+    meta = _load_json(fit_dir, cli.SIMCA_META_JSON)
+    assert meta["stacked"] and meta["class_labels"] == [0, 1, 2]
+
+    screen_dir = str(tmp_path / "stscreen")
+    rc = cli.main(["screen", "--data", tiny_npz, "--model-dir", fit_dir,
+                   "--out-dir", screen_dir])
+    assert rc == 0
+    preds = np.load(os.path.join(screen_dir, "predictions.npz"))
+    assert preds["accept"].shape[1] == 3
+
+
+def test_plsda_cli(tiny_npz, tmp_path):
+    out = str(tmp_path / "plsda")
+    rc = cli.main(["plsda", "--data", tiny_npz, "--max-components", "6",
+                   "--n-folds", "3", "--plots", "--out-dir", out])
+    assert rc == 0
+    cv = _load_json(out, "cv.json")
+    assert 1 <= cv["best_n_components"] <= 6
+    assert len(cv["f1_cv"]) == 6
+    metrics = _load_json(out, "metrics.json")
+    assert metrics["f1_test"] > 0.9  # well-separated synthetic classes
+    assert np.asarray(metrics["confusion"]).shape == (3, 3)
+    assert os.path.exists(os.path.join(out, "plsda_f1.png"))
+
+
 def test_hpo_tpe_tiny(tiny_npz, tmp_path):
     out = str(tmp_path / "hpo")
     space = tmp_path / "space.json"
