@@ -67,6 +67,11 @@ def _add_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--savgol", default=None, metavar="W,P,D",
                    help="Savitzky-Golay window,polyorder,deriv "
                         "(e.g. 15,2,1 — simca_new_cheese.py:34-39)")
+    p.add_argument("--remove-outliers", action="store_true",
+                   help="per-class PCA-Mahalanobis outlier removal on the "
+                        "training split (simca_nuts.py:127-150)")
+    p.add_argument("--outlier-components", type=int, default=10)
+    p.add_argument("--outlier-percentile", type=float, default=95.0)
 
 
 def load_dataset(data: Optional[str], synthetic: str = "cheese",
@@ -127,6 +132,34 @@ def _preprocess(args, *arrays):
             x = savgol_filter(x, w, p, d)
         out.append(np.asarray(x))
     return out
+
+
+def _remove_outliers(args, x, y):
+    """Per-class PCA-score Mahalanobis outlier removal on the training
+    split (detection on the preprocessed spectra, like simca_nuts.py
+    preprocess -> remove; keep rule d <= 95th percentile)."""
+    if not getattr(args, "remove_outliers", False):
+        return x, y
+    import jax.numpy as jnp
+
+    from ocm_tpu.utils.outliers import (effective_n_components,
+                                        mahalanobis_outlier_mask)
+
+    idx_parts = []
+    for cls in np.unique(y):
+        idx = np.where(y == cls)[0]
+        k = effective_n_components(len(idx), x.shape[1],
+                                   args.outlier_components)
+        keep, _, _ = mahalanobis_outlier_mask(
+            jnp.asarray(x[idx]), n_components=k,
+            percentile=args.outlier_percentile)
+        idx_parts.append(idx[np.asarray(keep)])
+    keep_idx = np.sort(np.concatenate(idx_parts))
+    n_dropped = len(y) - len(keep_idx)
+    if n_dropped:
+        print(f"outlier removal: dropped {n_dropped}/{len(y)} "
+              "training spectra")
+    return x[keep_idx], y[keep_idx]
 
 
 def _class_split(x, y, target_class: int, val_frac: float = 1 / 6):
@@ -232,6 +265,7 @@ def cmd_simca(args) -> int:
     x_tr, y_tr, x_ts, y_ts = load_dataset(args.data, args.synthetic,
                                           args.seed)
     x_tr, x_ts = _preprocess(args, x_tr, x_ts)
+    x_tr, y_tr = _remove_outliers(args, x_tr, y_tr)
     os.makedirs(args.out_dir, exist_ok=True)
 
     if args.all_classes:
@@ -299,6 +333,7 @@ def cmd_cv(args) -> int:
     x_tr, y_tr, x_ts, y_ts = load_dataset(args.data, args.synthetic,
                                           args.seed)
     x_tr, x_ts = _preprocess(args, x_tr, x_ts)
+    x_tr, y_tr = _remove_outliers(args, x_tr, y_tr)
     lv_values = list(range(args.lv_min, args.lv_max + 1))
     res = cv_simca_sweep(x_tr, y_tr, args.target_class, lv_values,
                          n_splits=args.n_splits, decision_type=args.type,
@@ -355,6 +390,7 @@ def cmd_train_vae(args) -> int:
     x_tr, y_tr, x_ts, y_ts = load_dataset(args.data, args.synthetic,
                                           args.seed)
     x_tr, x_ts = _preprocess(args, x_tr, x_ts)
+    x_tr, y_tr = _remove_outliers(args, x_tr, y_tr)
     x_cal, x_val = _class_split(x_tr, y_tr, args.target_class)
 
     arch = {"input_length": int(x_tr.shape[1]),
@@ -476,6 +512,7 @@ def cmd_hpo(args) -> int:
 
     x_tr, y_tr, _, _ = load_dataset(args.data, args.synthetic, args.seed)
     (x_tr,) = _preprocess(args, x_tr)
+    x_tr, y_tr = _remove_outliers(args, x_tr, y_tr)
     x_cal, x_val = _class_split(x_tr, y_tr, args.target_class)
 
     space = None
@@ -560,6 +597,7 @@ def cmd_stream_update(args) -> int:
         x = np.concatenate([x_tr, x_ts])
         y = np.concatenate([y_tr, y_ts])
     (x,) = _preprocess(args, x)
+    x, y = _remove_outliers(args, x, y)
 
     class_labels = None
     if args.class_labels:

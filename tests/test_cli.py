@@ -239,6 +239,36 @@ def test_stream_stacked_classes(tiny_npz, tmp_path):
     assert preds["accept"].shape[1] == 3
 
 
+def test_remove_outliers_flag(tiny_npz, tmp_path):
+    """--remove-outliers drops the injected extreme spectra per class
+    (simca_nuts.py:127-150 protocol) before fitting."""
+    z = np.load(tiny_npz)
+    x_tr = np.array(z["x_train"])
+    y_tr = np.asarray(z["y_train"])
+    idx0 = np.where(y_tr == 0)[0][:2]
+    x_tr[idx0] += 40.0  # gross outliers in the target class
+    poisoned = tmp_path / "poisoned.npz"
+    np.savez(poisoned, x_train=x_tr, y_train=y_tr,
+             x_test=z["x_test"], y_test=z["y_test"])
+
+    args = cli.build_parser().parse_args(
+        ["simca", "--data", str(poisoned), "--remove-outliers",
+         "--out-dir", str(tmp_path / "o")])
+    x_kept, y_kept = cli._remove_outliers(args, x_tr, y_tr)
+    assert len(x_kept) < len(x_tr)
+    kept0 = set(np.where(y_kept == 0)[0])
+    # the injected rows are gone (indices shift, so compare by content)
+    for i in idx0:
+        assert not any(np.array_equal(x_tr[i], r) for r in x_kept)
+
+    rc = cli.main(["simca", "--data", str(poisoned), "--remove-outliers",
+                   "--n-components", "5", "--quiet",
+                   "--out-dir", str(tmp_path / "fit_clean")])
+    assert rc == 0
+    m = _load_json(str(tmp_path / "fit_clean"), "metrics.json")
+    assert m["0"]["sensitivity"] > 80.0
+
+
 def test_plsda_cli(tiny_npz, tmp_path):
     out = str(tmp_path / "plsda")
     rc = cli.main(["plsda", "--data", tiny_npz, "--max-components", "6",
