@@ -26,6 +26,7 @@ Commands
                     counterpart — it refits from the full matrix)
 - ``stream-fit``    fit a servable SIMCA model dir from the statistic
 - ``plsda``         multi-class PLS-DA baseline (data_cheese.py EDA)
+- ``serve``         resident HTTP scoring server (ocm_tpu/server.py)
 
 Every data-consuming command accepts ``--data file.npz|file.mat`` or
 falls back to the shape-faithful synthetic datasets
@@ -439,6 +440,43 @@ def cmd_train_vae(args) -> int:
     return 0
 
 
+def _build_scorer(model_dir: str, chunk_size: int = 8192,
+                  store_dtype: Optional[str] = None, variant: str = "d2"):
+    """(scorer, info) from any model-producing run dir (simca /
+    cv --refit / stream-fit / train-vae / hpo).  Shared by ``screen``
+    and ``serve``."""
+    import jax.numpy as jnp
+
+    sd = {None: None, "bf16": jnp.bfloat16, "int8": jnp.int8}[store_dtype]
+    if os.path.exists(os.path.join(model_dir, SIMCA_MODEL_FILE)):
+        from ocm_tpu.serving import SIMCAScorer
+
+        model, meta = _load_simca_model(model_dir)
+        scorer = SIMCAScorer(model, decision_type=meta["decision_type"],
+                             chunk_size=chunk_size, store_dtype=sd)
+        info = dict(meta,
+                    input_length=int(np.asarray(model.mean).shape[-1]),
+                    store_dtype=store_dtype, chunk_size=chunk_size)
+        return scorer, info
+
+    from ocm_tpu.serving import VAEScorer
+
+    if store_dtype == "int8":
+        raise SystemExit("--store-dtype int8 is a SIMCA quantized-"
+                         "residual store; VAE serving supports bf16")
+    model, bundle, params_all = _load_vae_dir(model_dir)
+    loss_type = params_all.get("train", {}).get("loss_type", "cosine")
+    scorer = VAEScorer(model, bundle, variant=variant,
+                       loss_type=loss_type, chunk_size=chunk_size,
+                       compute_dtype=(jnp.bfloat16 if store_dtype == "bf16"
+                                      else None))
+    info = {"kind": "vae", "variant": variant, "loss_type": loss_type,
+            "target_class": int(params_all.get("target_class", 0)),
+            "input_length": int(params_all["arch"]["input_length"]),
+            "store_dtype": store_dtype, "chunk_size": chunk_size}
+    return scorer, info
+
+
 def cmd_screen(args) -> int:
     import jax.numpy as jnp
 
@@ -450,47 +488,27 @@ def cmd_screen(args) -> int:
     if args.use_train:
         x_ts, y_ts = x_tr, y_tr
 
-    store_dtype = {None: None, "bf16": jnp.bfloat16, "int8": jnp.int8}[
-        args.store_dtype]
-    if os.path.exists(os.path.join(args.model_dir, SIMCA_MODEL_FILE)):
-        from ocm_tpu.serving import SIMCAScorer
-
-        model, meta = _load_simca_model(args.model_dir)
-        scorer = SIMCAScorer(model, decision_type=meta["decision_type"],
-                             chunk_size=args.chunk_size,
-                             store_dtype=store_dtype)
-        out = scorer.score(x_ts)
-        labels = meta["class_labels"]
-        accept = np.asarray(out["accept"])
-        metrics = None
+    scorer, info = _build_scorer(args.model_dir, args.chunk_size,
+                                 args.store_dtype, args.variant)
+    out = scorer.score(x_ts)
+    metrics = None
+    if info.get("kind") == "simca":
         if not args.no_metrics:
             from ocm_tpu.stats.metrics import conformity_metrics
 
+            accept = np.asarray(out["accept"])
             per_cls = accept.T if accept.ndim == 2 else accept[None, :]
             metrics = {}
-            for i, cls in enumerate(labels):
+            for i, cls in enumerate(info["class_labels"]):
                 m = conformity_metrics(jnp.asarray(y_ts),
                                        jnp.asarray(per_cls[i]).astype(int),
                                        cls)
                 metrics[str(cls)] = {k: float(getattr(m, k)) for k in
                                      ("sensitivity", "specificity",
                                       "accuracy", "efficiency")}
-    else:
-        from ocm_tpu.serving import VAEScorer
-
-        model, bundle, params_all = _load_vae_dir(args.model_dir)
-        scorer = VAEScorer(model, bundle, variant=args.variant,
-                           loss_type=params_all.get("train", {}).get(
-                               "loss_type", "cosine"),
-                           chunk_size=args.chunk_size,
-                           compute_dtype=(jnp.bfloat16 if args.store_dtype
-                                          == "bf16" else None))
-        out = scorer.score(x_ts)
-        metrics = None
-        if not args.no_metrics:
-            metrics = {args.variant: _vae_metrics(
-                out["accept"], y_ts,
-                int(params_all.get("target_class", 0)))}
+    elif not args.no_metrics:
+        metrics = {args.variant: _vae_metrics(
+            out["accept"], y_ts, info["target_class"])}
 
     os.makedirs(args.out_dir, exist_ok=True)
     np.savez(os.path.join(args.out_dir, "predictions.npz"),
@@ -764,6 +782,27 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Resident HTTP scoring server over a saved model dir
+    (ocm_tpu/server.py; the deployment surface the reference lacks)."""
+    from ocm_tpu.server import ScoringServer
+
+    scorer, info = _build_scorer(args.model_dir, args.chunk_size,
+                                 args.store_dtype, args.variant)
+    srv = ScoringServer(scorer, info, host=args.host, port=args.port,
+                        expected_length=info.get("input_length"))
+    if not args.no_warmup:
+        print("warming up (chunk-shape compile)...")
+        srv.warmup()
+    print(f"serving {info.get('kind', 'model')} model at "
+          f"http://{srv.host}:{srv.port}  (POST /score, GET /health)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
 def cmd_export_torch(args) -> int:
     from ocm_tpu.models.torch_export import save_torch_checkpoint
 
@@ -870,6 +909,18 @@ def build_parser() -> argparse.ArgumentParser:
     ph.add_argument("--quiet", action="store_true")
     ph.add_argument("--out-dir", default="out/cli_hpo")
 
+    pv = sub.add_parser("serve", help="HTTP scoring server over a "
+                                      "saved model dir")
+    pv.add_argument("--model-dir", required=True)
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8420)
+    pv.add_argument("--variant", default="d2",
+                    choices=["d2", "d2_q", "f", "full"])
+    pv.add_argument("--store-dtype", default=None,
+                    choices=["bf16", "int8"])
+    pv.add_argument("--chunk-size", type=int, default=8192)
+    pv.add_argument("--no-warmup", action="store_true")
+
     pu = sub.add_parser("stream-update",
                         help="ingest a dataset chunk into a streaming "
                              "statistic")
@@ -929,7 +980,8 @@ COMMANDS = {"info": cmd_info, "simca": cmd_simca, "cv": cmd_cv,
             "hpo": cmd_hpo, "ingest": cmd_ingest,
             "export-torch": cmd_export_torch,
             "stream-update": cmd_stream_update,
-            "stream-fit": cmd_stream_fit, "plsda": cmd_plsda}
+            "stream-fit": cmd_stream_fit, "plsda": cmd_plsda,
+            "serve": cmd_serve}
 
 
 def main(argv=None) -> int:
