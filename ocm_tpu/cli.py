@@ -50,6 +50,7 @@ import numpy as np
 SIMCA_MODEL_FILE = "simca_model.msgpack"
 SIMCA_META_JSON = "simca_meta.json"
 BUNDLE_FILE = "model_bundle.msgpack"
+VAESIMCA_FILE = "vaesimca_model.msgpack"
 
 
 # ---------------------------------------------------------------- data
@@ -406,6 +407,9 @@ def cmd_train_vae(args) -> int:
     result = train_vae(model, x_cal, x_val, cfg, jax.random.key(args.seed))
     bundle = D.fit_thresholds(model, result.bundle, x_cal,
                               loss_type=args.loss_type)
+    from ocm_tpu.models.vaesimca import fit_vaesimca, save_vaesimca_model
+
+    vs = fit_vaesimca(model, bundle, x_cal)
 
     os.makedirs(args.out_dir, exist_ok=True)
     save_json({"command": "train-vae", "arch": arch,
@@ -420,11 +424,12 @@ def cmd_train_vae(args) -> int:
                "best_epoch": int(result.best_epoch)},
               args.out_dir, "losses.json")
     save_bundle(os.path.join(args.out_dir, BUNDLE_FILE), bundle)
+    save_vaesimca_model(os.path.join(args.out_dir, VAESIMCA_FILE), vs)
 
     import jax.numpy as jnp
 
     metrics = {}
-    for variant in ("d2", "d2_q", "f", "full"):
+    for variant in ("d2", "d2_q", "f", "full", "vaesimca"):
         if variant == "d2":
             dec = D.decide_d2(model, bundle, jnp.asarray(x_ts))
         elif variant == "d2_q":
@@ -432,8 +437,16 @@ def cmd_train_vae(args) -> int:
                                 args.loss_type)
         elif variant == "f":
             dec = D.decide_f(model, bundle, jnp.asarray(x_ts))
-        else:
+        elif variant == "full":
             dec = D.decide_full_distance(model, bundle, jnp.asarray(x_ts))
+        else:
+            from ocm_tpu.models.vaesimca import predict_vaesimca
+
+            accept, _, _ = predict_vaesimca(model, bundle, vs,
+                                            jnp.asarray(x_ts))
+            metrics[variant] = _vae_metrics(accept, y_ts,
+                                            args.target_class)
+            continue
         metrics[variant] = _vae_metrics(dec.accept, y_ts, args.target_class)
     save_json(metrics, args.out_dir, "metrics.json")
     print(json.dumps(metrics, indent=2))
@@ -466,8 +479,19 @@ def _build_scorer(model_dir: str, chunk_size: int = 8192,
                          "residual store; VAE serving supports bf16")
     model, bundle, params_all = _load_vae_dir(model_dir)
     loss_type = params_all.get("train", {}).get("loss_type", "cosine")
+    vaesimca_model = None
+    if variant == "vaesimca":
+        from ocm_tpu.models.vaesimca import load_vaesimca_model
+
+        vs_path = os.path.join(model_dir, VAESIMCA_FILE)
+        if not os.path.exists(vs_path):
+            raise SystemExit(
+                f"{model_dir} has no {VAESIMCA_FILE}; re-run train-vae "
+                "(it saves the latent-SIMCA state alongside the bundle)")
+        vaesimca_model = load_vaesimca_model(vs_path)
     scorer = VAEScorer(model, bundle, variant=variant,
                        loss_type=loss_type, chunk_size=chunk_size,
+                       vaesimca_model=vaesimca_model,
                        compute_dtype=(jnp.bfloat16 if store_dtype == "bf16"
                                       else None))
     info = {"kind": "vae", "variant": variant, "loss_type": loss_type,
@@ -884,7 +908,7 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--model-dir", required=True,
                     help="a simca/cv --refit/train-vae/hpo output dir")
     pr.add_argument("--variant", default="d2",
-                    choices=["d2", "d2_q", "f", "full"],
+                    choices=["d2", "d2_q", "f", "full", "vaesimca"],
                     help="VAE decision variant (ignored for SIMCA models)")
     pr.add_argument("--store-dtype", default=None,
                     choices=["bf16", "int8"],
@@ -915,7 +939,7 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--host", default="127.0.0.1")
     pv.add_argument("--port", type=int, default=8420)
     pv.add_argument("--variant", default="d2",
-                    choices=["d2", "d2_q", "f", "full"])
+                    choices=["d2", "d2_q", "f", "full", "vaesimca"])
     pv.add_argument("--store-dtype", default=None,
                     choices=["bf16", "int8"])
     pv.add_argument("--chunk-size", type=int, default=8192)

@@ -243,3 +243,28 @@ class VAESIMCA:
         vs = self._model[self.model_class[0]]
         return predict_vaesimca(self.model, self.bundle, vs, x, self.type,
                                 self.compat_double_standardize)
+
+
+def save_vaesimca_model(path: str, vs: VAESIMCAModel) -> str:
+    """Template-free msgpack persistence of a (possibly class-stacked)
+    fitted latent-SIMCA state (all leaves are plain arrays, unlike the
+    flax param pytree in ``bundle.save_bundle``).  The reference carries
+    its equivalent state only as an in-memory dict per class
+    (VAE_SIMCA.py:266-279)."""
+    import numpy as np
+    from flax import serialization
+
+    tree = {f: np.asarray(getattr(vs, f)) for f in vs._fields}
+    with open(path, "wb") as fh:
+        fh.write(serialization.msgpack_serialize(tree))
+    return path
+
+
+def load_vaesimca_model(path: str) -> VAESIMCAModel:
+    """Inverse of :func:`save_vaesimca_model` (no template required)."""
+    from flax import serialization
+
+    with open(path, "rb") as fh:
+        tree = serialization.msgpack_restore(fh.read())
+    return VAESIMCAModel(**{f: jnp.asarray(tree[f])
+                            for f in VAESIMCAModel._fields})

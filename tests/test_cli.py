@@ -138,7 +138,8 @@ def test_train_vae_screen_export(tiny_npz, tmp_path):
     losses = _load_json(train_dir, "losses.json")
     assert len(losses["train_losses"]) == 3
     metrics = _load_json(train_dir, "metrics.json")
-    assert set(metrics) == {"d2", "d2_q", "f", "full"}
+    assert set(metrics) == {"d2", "d2_q", "f", "full", "vaesimca"}
+    assert os.path.exists(os.path.join(train_dir, cli.VAESIMCA_FILE))
 
     screen_dir = str(tmp_path / "vscreen")
     rc = cli.main(["screen", "--data", tiny_npz, "--model-dir", train_dir,
@@ -150,6 +151,14 @@ def test_train_vae_screen_export(tiny_npz, tmp_path):
     # the screen metrics reproduce the train-time d2 metrics (same data)
     sm = _load_json(screen_dir, "metrics.json")
     assert sm["d2"] == pytest.approx(metrics["d2"], abs=1e-6)
+
+    # variant 5 through serving matches the train-time metrics too
+    vs_dir = str(tmp_path / "vs_screen")
+    rc = cli.main(["screen", "--data", tiny_npz, "--model-dir", train_dir,
+                   "--variant", "vaesimca", "--out-dir", vs_dir])
+    assert rc == 0
+    vsm = _load_json(vs_dir, "metrics.json")
+    assert vsm["vaesimca"] == pytest.approx(metrics["vaesimca"], abs=1e-6)
 
     torch = pytest.importorskip("torch")
     pth = str(tmp_path / "model.pth")
