@@ -227,8 +227,29 @@ def _load_vae_dir(model_dir: str):
     length = int(arch["input_length"])
     template = B.new_bundle(net_params, bs, jnp.zeros(length, jnp.float32),
                             jnp.ones(length, jnp.float32), model.latent_dim)
+    labels = params_all.get("class_labels")
+    if labels:      # --all-classes run dir: leaves carry a (C,) axis
+        template = B.stack_bundles([template] * len(labels))
     bundle = B.load_bundle(os.path.join(model_dir, BUNDLE_FILE), template)
     return model, bundle, params_all
+
+
+def _variant_accept(model, bundle, vs, x, variant: str, loss_type: str):
+    """Accept vector of ONE class model under any of the five decision
+    variants (vmapped over stacked bundles for --all-classes)."""
+    from ocm_tpu.models import vae_decision as D
+
+    if variant == "d2":
+        return D.decide_d2(model, bundle, x).accept
+    if variant == "d2_q":
+        return D.decide_d2_q(model, bundle, x, loss_type).accept
+    if variant == "f":
+        return D.decide_f(model, bundle, x).accept
+    if variant == "full":
+        return D.decide_full_distance(model, bundle, x).accept
+    from ocm_tpu.models.vaesimca import predict_vaesimca
+
+    return predict_vaesimca(model, bundle, vs, x)[0]
 
 
 def _vae_metrics(accept, y_ts, target_class: int) -> dict:
@@ -393,7 +414,6 @@ def cmd_train_vae(args) -> int:
                                           args.seed)
     x_tr, x_ts = _preprocess(args, x_tr, x_ts)
     x_tr, y_tr = _remove_outliers(args, x_tr, y_tr)
-    x_cal, x_val = _class_split(x_tr, y_tr, args.target_class)
 
     arch = {"input_length": int(x_tr.shape[1]),
             "latent_dim": args.latent_dim, "conv_blocks": args.conv_blocks,
@@ -404,12 +424,37 @@ def cmd_train_vae(args) -> int:
     cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                       lr=args.lr, weight_decay=args.weight_decay,
                       beta=args.beta, loss_type=args.loss_type)
-    result = train_vae(model, x_cal, x_val, cfg, jax.random.key(args.seed))
-    bundle = D.fit_thresholds(model, result.bundle, x_cal,
-                              loss_type=args.loss_type)
     from ocm_tpu.models.vaesimca import fit_vaesimca, save_vaesimca_model
 
-    vs = fit_vaesimca(model, bundle, x_cal)
+    if args.all_classes:
+        # every per-class one-class VAE trains as ONE vmapped program
+        # (the reference re-runs a whole driver per nut type)
+        from ocm_tpu.models.bundle import stack_bundles
+        from ocm_tpu.utils.sweep import train_vae_classes
+
+        labels = sorted(int(c) for c in np.unique(y_tr))
+        splits = [_class_split(x_tr, y_tr, cls) for cls in labels]
+        result = train_vae_classes(model, [s[0] for s in splits],
+                                   [s[1] for s in splits], cfg,
+                                   jax.random.key(args.seed))
+        bundles, vss = [], []
+        for i in range(len(labels)):
+            b = jax.tree.map(lambda a, i=i: a[i], result.bundle)
+            b = D.fit_thresholds(model, b, splits[i][0],
+                                 loss_type=args.loss_type)
+            bundles.append(b)
+            vss.append(fit_vaesimca(model, b, splits[i][0]))
+        bundle, vs = stack_bundles(bundles), stack_bundles(vss)
+        best_epoch = np.asarray(result.best_epoch).tolist()
+    else:
+        labels = None
+        x_cal, x_val = _class_split(x_tr, y_tr, args.target_class)
+        result = train_vae(model, x_cal, x_val, cfg,
+                           jax.random.key(args.seed))
+        bundle = D.fit_thresholds(model, result.bundle, x_cal,
+                                  loss_type=args.loss_type)
+        vs = fit_vaesimca(model, bundle, x_cal)
+        best_epoch = int(result.best_epoch)
 
     os.makedirs(args.out_dir, exist_ok=True)
     save_json({"command": "train-vae", "arch": arch,
@@ -417,37 +462,31 @@ def cmd_train_vae(args) -> int:
                          "batch_size": args.batch_size, "lr": args.lr,
                          "weight_decay": args.weight_decay,
                          "beta": args.beta, "loss_type": args.loss_type},
-               "target_class": args.target_class, "seed": args.seed},
+               "target_class": args.target_class,
+               "class_labels": labels, "seed": args.seed},
               args.out_dir, "params.json")
     save_json({"train_losses": np.asarray(result.train_losses),
                "val_losses": np.asarray(result.val_losses),
-               "best_epoch": int(result.best_epoch)},
+               "best_epoch": best_epoch},
               args.out_dir, "losses.json")
     save_bundle(os.path.join(args.out_dir, BUNDLE_FILE), bundle)
     save_vaesimca_model(os.path.join(args.out_dir, VAESIMCA_FILE), vs)
 
     import jax.numpy as jnp
 
+    x_ts_j = jnp.asarray(x_ts)
     metrics = {}
     for variant in ("d2", "d2_q", "f", "full", "vaesimca"):
-        if variant == "d2":
-            dec = D.decide_d2(model, bundle, jnp.asarray(x_ts))
-        elif variant == "d2_q":
-            dec = D.decide_d2_q(model, bundle, jnp.asarray(x_ts),
-                                args.loss_type)
-        elif variant == "f":
-            dec = D.decide_f(model, bundle, jnp.asarray(x_ts))
-        elif variant == "full":
-            dec = D.decide_full_distance(model, bundle, jnp.asarray(x_ts))
+        if labels is not None:
+            accs = jax.vmap(lambda b, v: _variant_accept(
+                model, b, v, x_ts_j, variant, args.loss_type))(bundle, vs)
+            metrics[variant] = {
+                str(cls): _vae_metrics(accs[i], y_ts, cls)
+                for i, cls in enumerate(labels)}
         else:
-            from ocm_tpu.models.vaesimca import predict_vaesimca
-
-            accept, _, _ = predict_vaesimca(model, bundle, vs,
-                                            jnp.asarray(x_ts))
-            metrics[variant] = _vae_metrics(accept, y_ts,
-                                            args.target_class)
-            continue
-        metrics[variant] = _vae_metrics(dec.accept, y_ts, args.target_class)
+            acc = _variant_accept(model, bundle, vs, x_ts_j, variant,
+                                  args.loss_type)
+            metrics[variant] = _vae_metrics(acc, y_ts, args.target_class)
     save_json(metrics, args.out_dir, "metrics.json")
     print(json.dumps(metrics, indent=2))
     return 0
@@ -496,6 +535,7 @@ def _build_scorer(model_dir: str, chunk_size: int = 8192,
                                       else None))
     info = {"kind": "vae", "variant": variant, "loss_type": loss_type,
             "target_class": int(params_all.get("target_class", 0)),
+            "class_labels": params_all.get("class_labels"),
             "input_length": int(params_all["arch"]["input_length"]),
             "store_dtype": store_dtype, "chunk_size": chunk_size}
     return scorer, info
@@ -531,8 +571,14 @@ def cmd_screen(args) -> int:
                                      ("sensitivity", "specificity",
                                       "accuracy", "efficiency")}
     elif not args.no_metrics:
-        metrics = {args.variant: _vae_metrics(
-            out["accept"], y_ts, info["target_class"])}
+        accept = np.asarray(out["accept"])
+        if accept.ndim == 2:      # stacked multi-class VAE run dir
+            metrics = {args.variant: {
+                str(cls): _vae_metrics(accept[:, i], y_ts, cls)
+                for i, cls in enumerate(info["class_labels"])}}
+        else:
+            metrics = {args.variant: _vae_metrics(
+                accept, y_ts, info["target_class"])}
 
     os.makedirs(args.out_dir, exist_ok=True)
     np.savez(os.path.join(args.out_dir, "predictions.npz"),
@@ -830,7 +876,22 @@ def cmd_serve(args) -> int:
 def cmd_export_torch(args) -> int:
     from ocm_tpu.models.torch_export import save_torch_checkpoint
 
-    model, bundle, _ = _load_vae_dir(args.model_dir)
+    import jax
+
+    model, bundle, params_all = _load_vae_dir(args.model_dir)
+    labels = params_all.get("class_labels")
+    if labels:
+        # the reference format is one class per .pth; slice the stack
+        if args.class_index is None:
+            raise SystemExit(
+                f"{args.model_dir} is an --all-classes run over classes "
+                f"{labels}; pass --class-index to pick one")
+        i = labels.index(args.class_index) if args.class_index in labels \
+            else None
+        if i is None:
+            raise SystemExit(f"--class-index {args.class_index} not in "
+                             f"{labels}")
+        bundle = jax.tree.map(lambda a: a[i], bundle)
     path = save_torch_checkpoint(args.out, bundle, model)
     print(f"wrote reference-format checkpoint: {path}")
     return 0
@@ -887,6 +948,9 @@ def build_parser() -> argparse.ArgumentParser:
     pt = sub.add_parser("train-vae", help="train ConvVAE1D + thresholds")
     _add_data_args(pt)
     pt.add_argument("--target-class", type=int, default=0)
+    pt.add_argument("--all-classes", action="store_true",
+                    help="train every class's one-class VAE as ONE "
+                         "vmapped program (utils.sweep.train_vae_classes)")
     pt.add_argument("--epochs", type=int, default=100)
     pt.add_argument("--batch-size", type=int, default=64)
     pt.add_argument("--lr", type=float, default=1e-3)
@@ -995,6 +1059,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="OCMBundle -> reference-format .pth")
     pe.add_argument("--model-dir", required=True)
     pe.add_argument("--out", default="out/model.pth")
+    pe.add_argument("--class-index", type=int, default=None,
+                    help="which class to export from an --all-classes "
+                         "run dir (label value)")
 
     return p
 

@@ -168,6 +168,44 @@ def test_train_vae_screen_export(tiny_npz, tmp_path):
     assert any(k.startswith("enc") or "fc_mu" in k for k in state)
 
 
+def test_train_vae_all_classes_stacked(tiny_npz, tmp_path):
+    """--all-classes trains C one-class VAEs as one vmapped program; the
+    run dir serves stacked ((N, C) decisions) and exports per class."""
+    train_dir = str(tmp_path / "vae_all")
+    rc = cli.main(["train-vae", "--data", tiny_npz, "--all-classes",
+                   "--epochs", "2", "--batch-size", "16",
+                   "--latent-dim", "4", "--conv-blocks", "2",
+                   "--n-filters", "4", "--hidden-fc", "16",
+                   "--out-dir", train_dir])
+    assert rc == 0
+    params = _load_json(train_dir, "params.json")
+    assert params["class_labels"] == [0, 1, 2]
+    metrics = _load_json(train_dir, "metrics.json")
+    assert set(metrics["d2"]) == {"0", "1", "2"}
+    losses = _load_json(train_dir, "losses.json")
+    assert np.asarray(losses["train_losses"]).shape == (3, 2)
+
+    screen_dir = str(tmp_path / "vascreen")
+    rc = cli.main(["screen", "--data", tiny_npz, "--model-dir", train_dir,
+                   "--variant", "vaesimca", "--out-dir", screen_dir])
+    assert rc == 0
+    preds = np.load(os.path.join(screen_dir, "predictions.npz"))
+    assert preds["accept"].shape[1] == 3
+    sm = _load_json(screen_dir, "metrics.json")
+    assert sm["vaesimca"]["1"] == pytest.approx(metrics["vaesimca"]["1"],
+                                                abs=1e-6)
+
+    pytest.importorskip("torch")
+    with pytest.raises(SystemExit, match="--class-index"):
+        cli.main(["export-torch", "--model-dir", train_dir,
+                  "--out", str(tmp_path / "x.pth")])
+    rc = cli.main(["export-torch", "--model-dir", train_dir,
+                   "--class-index", "1", "--out",
+                   str(tmp_path / "c1.pth")])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "c1.pth"))
+
+
 def test_ingest_object_store(tmp_path):
     out = str(tmp_path / "store.h5")
     rc = cli.main(["ingest", "--images-per-class", "1", "--out", out])
