@@ -83,6 +83,13 @@ def load_dataset(data: Optional[str], synthetic: str = "cheese",
         if data.endswith(".npz"):
             z = np.load(data)
             if "x_train" in z:
+                missing = [k for k in ("y_train", "x_test", "y_test")
+                           if k not in z]
+                if missing:
+                    raise ValueError(
+                        f"{data}: has x_train but is missing {missing}; "
+                        "provide all of x_train/y_train/x_test/y_test, or "
+                        "use the x/y form for an unsplit chunk")
                 return (np.asarray(z["x_train"]), np.asarray(z["y_train"]),
                         np.asarray(z["x_test"]), np.asarray(z["y_test"]))
             if "x" not in z or "y" not in z:
@@ -167,16 +174,22 @@ def _remove_outliers(args, x, y):
 def _class_split(x, y, target_class: int, val_frac: float = 1 / 6):
     """Target-class calibration/validation split (final_vaesimca.py:338)."""
     x_cls = x[y == target_class]
-    if len(x_cls) == 0:
-        raise ValueError(f"no samples with label {target_class}")
     n_val = max(int(len(x_cls) * val_frac), 4)
+    if len(x_cls) <= n_val:
+        raise ValueError(
+            f"class {target_class} has {len(x_cls)} samples; needs more "
+            f"than {n_val} for a calibration/validation split")
     return x_cls[:-n_val], x_cls[-n_val:]
 
 
 def _binary_labels(y, target_class: int):
-    """0 = target, others = their own (>=1) labels for false-acceptance
-    reporting (utils/final_vaesimca.py:555-566)."""
-    return np.where(y == target_class, 0, np.maximum(y, 1)).astype(int)
+    """0 = target; other classes get DENSE labels 1..K in sorted order so
+    per-class false-acceptance columns stay distinct and non-empty for any
+    target (utils/final_vaesimca.py:555-566 hardcodes target 0)."""
+    y = np.asarray(y)
+    others = sorted(set(np.unique(y).tolist()) - {target_class})
+    remap = {target_class: 0, **{c: i + 1 for i, c in enumerate(others)}}
+    return np.array([remap[int(v)] for v in y], dtype=int)
 
 
 # ------------------------------------------------------------- helpers
@@ -291,19 +304,28 @@ def cmd_simca(args) -> int:
     x_tr, y_tr = _remove_outliers(args, x_tr, y_tr)
     os.makedirs(args.out_dir, exist_ok=True)
 
+    # 'dd' needs the Pomerantsev moment-matched limits (the SIMCA wrapper
+    # coerces this itself, models/simca.py:593-598; the raw fit fns don't)
+    t2lim, qlim = args.t2lim, args.qlim
+    if args.type == "dd":
+        t2lim = qlim = "chi2pom"
+
     if args.all_classes:
         labels = sorted(int(c) for c in np.unique(y_tr))
+        # the masked stacked fit calls its dense strict-parity solver
+        # 'eigh' (fit_simca calls the equivalent one-matrix solve 'svd')
+        solver = "eigh" if args.solver == "svd" else args.solver
         stacked = fit_classes(x_tr, y_tr, labels,
                               n_components=args.n_components,
                               decision_type=args.type,
-                              t2_method=args.t2lim, q_method=args.qlim,
-                              solver=args.solver)
+                              t2_method=t2lim, q_method=qlim,
+                              solver=solver)
         _save_simca_model(args.out_dir, stacked,
                           {"kind": "simca", "stacked": True,
                            "class_labels": labels,
                            "decision_type": args.type,
                            "n_components": args.n_components,
-                           "t2lim": args.t2lim, "qlim": args.qlim})
+                           "t2lim": t2lim, "qlim": qlim})
         from ocm_tpu.models.simca import predict_classes
         from ocm_tpu.stats.metrics import conformity_metrics
 
@@ -321,7 +343,7 @@ def cmd_simca(args) -> int:
     else:
         model = SIMCA(n_components=args.n_components,
                       model_class=args.target_class, type=args.type,
-                      t2lim=args.t2lim, qlim=args.qlim, solver=args.solver,
+                      t2lim=t2lim, qlim=qlim, solver=args.solver,
                       verbose=not args.quiet)
         model.fit(x_tr, y_tr)
         model.predict(x_ts, y_true=y_ts)
@@ -332,7 +354,7 @@ def cmd_simca(args) -> int:
                            "class_labels": [args.target_class],
                            "decision_type": args.type,
                            "n_components": args.n_components,
-                           "t2lim": args.t2lim, "qlim": args.qlim})
+                           "t2lim": t2lim, "qlim": qlim})
         if args.plots:
             from ocm_tpu.models.simca import reduced_train_distances
             from ocm_tpu.utils.report import plot_t2q
@@ -386,9 +408,14 @@ def cmd_cv(args) -> int:
     if args.refit:
         from ocm_tpu.models.simca import fit_simca
 
+        # dd -> chi2pom limit coercion, matching the SIMCA wrapper (the
+        # sweep coerces internally; the refit model must agree)
+        t2lim, qlim = args.t2lim, args.qlim
+        if args.type == "dd":
+            t2lim = qlim = "chi2pom"
         fitted = fit_simca(x_tr[y_tr == args.target_class], best_lv,
-                           decision_type=args.type, t2_method=args.t2lim,
-                           q_method=args.qlim,
+                           decision_type=args.type, t2_method=t2lim,
+                           q_method=qlim,
                            solver="svd" if args.solver == "eigh"
                            else args.solver)
         _save_simca_model(args.out_dir, fitted,
@@ -396,7 +423,7 @@ def cmd_cv(args) -> int:
                            "class_labels": [args.target_class],
                            "decision_type": args.type,
                            "n_components": best_lv,
-                           "t2lim": args.t2lim, "qlim": args.qlim})
+                           "t2lim": t2lim, "qlim": qlim})
     print(f"best LV by {args.metric}: {best_lv} "
           f"(score {float(scores[best_i]):.4f})")
     return 0
@@ -548,9 +575,9 @@ def cmd_screen(args) -> int:
 
     x_tr, y_tr, x_ts, y_ts = load_dataset(args.data, args.synthetic,
                                           args.seed)
-    x_tr, x_ts = _preprocess(args, x_tr, x_ts)
-    if args.use_train:
+    if args.use_train:      # only filter the split actually screened
         x_ts, y_ts = x_tr, y_tr
+    (x_ts,) = _preprocess(args, x_ts)
 
     scorer, info = _build_scorer(args.model_dir, args.chunk_size,
                                  args.store_dtype, args.variant)
@@ -629,7 +656,11 @@ def cmd_hpo(args) -> int:
     else:
         from ocm_tpu.utils.tpe import bohb_vae_search
 
+        # --n-trials maps onto 3 TPE-sampled brackets (27 by default,
+        # matching the tpe/asha budget semantics instead of ignoring it)
         res = bohb_vae_search(x_cal, x_val, space=space,
+                              trials_per_bracket=max(
+                                  1, -(-args.n_trials // 3)),
                               max_epochs=args.max_epochs, seed=args.seed,
                               base_config=base, verbose=not args.quiet)
 
@@ -843,6 +874,8 @@ def cmd_ingest(args) -> int:
                                 args.background_threshold,
                                 min_pixels=args.min_pixels)
                 for img in range(args.images_per_class)]
+    out_parent = os.path.dirname(os.path.abspath(args.out))
+    os.makedirs(out_parent, exist_ok=True)
     write_object_store(args.out, data)
     n_obj = sum(len(objs) for v in data.values() for objs in v)
     n_px = sum(o["n_pixels"] for v in data.values() for objs in v
@@ -892,6 +925,7 @@ def cmd_export_torch(args) -> int:
             raise SystemExit(f"--class-index {args.class_index} not in "
                              f"{labels}")
         bundle = jax.tree.map(lambda a: a[i], bundle)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     path = save_torch_checkpoint(args.out, bundle, model)
     print(f"wrote reference-format checkpoint: {path}")
     return 0

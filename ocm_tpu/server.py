@@ -110,9 +110,14 @@ class ScoringServer:
                 except ValueError as e:
                     self._reply_json(400, {"error": str(e)})
                     return
-                with outer._lock:      # one device stream
-                    out = outer.scorer.score(x)
-                outer.n_scored += len(x)
+                try:
+                    with outer._lock:      # one device stream
+                        out = outer.scorer.score(x)
+                        outer.n_scored += len(x)
+                except Exception as e:   # surface scoring failures as 500
+                    self._reply_json(500, {"error":
+                                           f"{type(e).__name__}: {e}"})
+                    return
                 if "application/x-npz" in self.headers.get("Accept", ""):
                     buf = io.BytesIO()
                     np.savez(buf, **{k: np.asarray(v)
@@ -160,10 +165,13 @@ class ScoringServer:
     # -------------------------------------------------------- lifecycle
 
     def warmup(self) -> None:
-        """Pay the chunk-shape compile before serving traffic."""
+        """Pay the chunk-shape compile before serving traffic.  Takes the
+        request lock: the listening socket exists from construction, so a
+        request can already be in flight while warmup runs."""
         length = self.expected_length or self.info.get("input_length")
         if length:
-            self.scorer.score(np.zeros((1, int(length)), np.float32))
+            with self._lock:
+                self.scorer.score(np.zeros((1, int(length)), np.float32))
 
     def start(self) -> "ScoringServer":
         """Serve on a daemon thread (returns immediately; see ``.port``)."""

@@ -111,6 +111,51 @@ def test_simca_all_classes_stacked_screen(tiny_npz, tmp_path):
     assert set(metrics) == {"0", "1", "2"}
 
 
+def test_binary_labels_dense_for_any_target():
+    """Target >= 2 must not collide non-target classes or leave an empty
+    false-acceptance column (review fix: naive maximum(y, 1) remap)."""
+    y = np.array([0, 1, 2, 3, 4, 3, 0])
+    got = cli._binary_labels(y, target_class=3)
+    # target -> 0; others dense 1..4 in sorted order (0->1,1->2,2->3,4->4)
+    np.testing.assert_array_equal(got, [1, 2, 3, 0, 4, 0, 1])
+    assert set(got) == {0, 1, 2, 3, 4}
+
+
+def test_class_split_tiny_class_raises():
+    x = np.zeros((10, 8))
+    y = np.array([0] * 7 + [1] * 3)
+    with pytest.raises(ValueError, match="class 1 has 3 samples"):
+        cli._class_split(x, y, 1)
+    with pytest.raises(ValueError, match="class 2 has 0 samples"):
+        cli._class_split(x, y, 2)
+
+
+def test_simca_all_classes_dd_coerced(tiny_npz, tmp_path):
+    """--type dd must fit chi2pom limits (the SIMCA wrapper coerces;
+    the vmapped fit_classes path must too — Fdist/jm limits carry
+    dof=scale=1 and reject nearly everything).  Contract: the stacked
+    CLI fit reproduces the reference-parity wrapper's dd decisions."""
+    fit_dir = str(tmp_path / "dd")
+    rc = cli.main(["simca", "--data", tiny_npz, "--all-classes",
+                   "--type", "dd", "--n-components", "5",
+                   "--out-dir", fit_dir])
+    assert rc == 0
+    meta = _load_json(fit_dir, cli.SIMCA_META_JSON)
+    assert meta["t2lim"] == meta["qlim"] == "chi2pom"
+    metrics = _load_json(fit_dir, "metrics.json")
+
+    from ocm_tpu.models.simca import SIMCA
+
+    z = np.load(tiny_npz)
+    ref = SIMCA(n_components=5, model_class=0, type="dd", verbose=False)
+    ref.fit(z["x_train"], z["y_train"])
+    ref.predict(z["x_test"], y_true=z["y_test"])
+    assert metrics["0"]["sensitivity"] == pytest.approx(
+        ref.metrics[0]["sensitivity"], abs=1e-4)
+    assert metrics["0"]["specificity"] == pytest.approx(
+        ref.metrics[0]["specificity"], abs=1e-4)
+
+
 def test_cv_refit_and_plot(tiny_npz, tmp_path):
     out = str(tmp_path / "cv")
     rc = cli.main(["cv", "--data", tiny_npz, "--lv-min", "2", "--lv-max",

@@ -159,6 +159,26 @@ def test_concurrent_posts_serialize(server, data):
     assert srv.n_scored >= 6 * 16
 
 
+def test_scorer_failure_returns_500():
+    """A scorer exception must surface as a 500 with the error text, not
+    a dropped connection (review fix)."""
+
+    class Boom:
+        def score(self, x):
+            raise RuntimeError("device fell over")
+
+    srv = ScoringServer(Boom(), info={}).start()
+    try:
+        body = json.dumps({"x": [[1.0, 2.0]]}).encode()
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(srv, body, "application/json")
+        assert exc.value.code == 500
+        err = json.loads(exc.value.read())["error"]
+        assert "RuntimeError" in err and "device fell over" in err
+    finally:
+        srv.stop()
+
+
 def test_build_scorer_run_dir_and_warmup(tmp_path, data):
     """cli._build_scorer -> ScoringServer over a real run dir (the
     `serve` command's wiring, minus serve_forever)."""
