@@ -58,8 +58,9 @@ VAESIMCA_FILE = "vaesimca_model.msgpack"
 
 def _add_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data", default=None,
-                   help=".npz (x_train/y_train/x_test/y_test or x/y) or "
-                        "cheese-format .mat; default: synthetic")
+                   help=".npz (x_train/y_train/x_test/y_test or x/y), "
+                        "cheese-format .mat, or an `ingest` .h5 object "
+                        "store (object-level split); default: synthetic")
     p.add_argument("--synthetic", default="cheese",
                    choices=["cheese", "nuts"],
                    help="synthetic dataset family when --data is absent")
@@ -106,7 +107,29 @@ def load_dataset(data: Optional[str], synthetic: str = "cheese",
             from ocm_tpu.utils.io import load_cheese_mat
 
             return load_cheese_mat(data)
-        raise ValueError(f"unsupported data file {data!r} (.npz or .mat)")
+        if data.endswith((".h5", ".hdf5")):
+            # the `ingest` command's HDF5 object store: per-class object
+            # pixel spectra, split at the OBJECT level so no object
+            # straddles train/test (utils/data_utils.py:104-121 protocol)
+            from ocm_tpu.utils.io import read_object_store
+            from ocm_tpu.utils.splits import shuffle_split
+
+            store = read_object_store(data)
+            xs_tr, ys_tr, xs_ts, ys_ts = [], [], [], []
+            for i, cls in enumerate(sorted(store)):
+                objs = [np.asarray(o["spectral_data"], np.float32)
+                        for o in store[cls]]
+                tr_objs, ts_objs = shuffle_split(objs, test_size,
+                                                 random_state=seed)
+                for dst_x, dst_y, part in ((xs_tr, ys_tr, tr_objs),
+                                           (xs_ts, ys_ts, ts_objs)):
+                    for o in part:
+                        dst_x.append(o)
+                        dst_y.append(np.full(len(o), i))
+            return (np.concatenate(xs_tr), np.concatenate(ys_tr),
+                    np.concatenate(xs_ts), np.concatenate(ys_ts))
+        raise ValueError(f"unsupported data file {data!r} "
+                         "(.npz, .mat, or .h5 object store)")
 
     from ocm_tpu.utils import synthetic as S
 
@@ -498,6 +521,19 @@ def cmd_train_vae(args) -> int:
               args.out_dir, "losses.json")
     save_bundle(os.path.join(args.out_dir, BUNDLE_FILE), bundle)
     save_vaesimca_model(os.path.join(args.out_dir, VAESIMCA_FILE), vs)
+    if args.plots:
+        from ocm_tpu.utils.report import plot_losses
+
+        tl = np.atleast_2d(np.asarray(result.train_losses))
+        vl = np.atleast_2d(np.asarray(result.val_losses))
+        for i in range(tl.shape[0]):
+            cls = labels[i] if labels is not None else args.target_class
+            plot_losses(tl[i], vl[i],
+                        best_epoch=(best_epoch[i] if labels is not None
+                                    else best_epoch),
+                        title=f"class {cls} {args.loss_type} loss",
+                        save_path=os.path.join(args.out_dir,
+                                               f"losses_c{cls}.png"))
 
     import jax.numpy as jnp
 
@@ -999,6 +1035,8 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--hidden-fc", type=int, default=256)
     pt.add_argument("--dropout", type=float, default=0.0)
     pt.add_argument("--activation", default="elu")
+    pt.add_argument("--plots", action="store_true",
+                    help="save per-class train/val loss curves")
     pt.add_argument("--out-dir", default="out/cli_vae")
 
     pr = sub.add_parser("screen", help="serve a saved model over a dataset")

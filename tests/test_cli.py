@@ -176,8 +176,10 @@ def test_train_vae_screen_export(tiny_npz, tmp_path):
     rc = cli.main(["train-vae", "--data", tiny_npz, "--epochs", "3",
                    "--batch-size", "16", "--latent-dim", "4",
                    "--conv-blocks", "2", "--n-filters", "4",
-                   "--hidden-fc", "16", "--out-dir", train_dir])
+                   "--hidden-fc", "16", "--plots",
+                   "--out-dir", train_dir])
     assert rc == 0
+    assert os.path.exists(os.path.join(train_dir, "losses_c0.png"))
     params = _load_json(train_dir, "params.json")
     assert params["arch"]["input_length"] == 64
     losses = _load_json(train_dir, "losses.json")
@@ -261,6 +263,16 @@ def test_ingest_object_store(tmp_path):
     assert len(data) == 5
     assert all(objs and objs[0]["spectral_data"].shape[1] == 288
                for objs in data.values())
+
+    # the store feeds any data-consuming command directly: fit SIMCA on
+    # an object-level split of the ingested pixel spectra
+    x_tr, y_tr, x_ts, y_ts = cli.load_dataset(out, seed=1)
+    assert x_tr.shape[1] == 288 and set(np.unique(y_tr)) == set(range(5))
+    fit_dir = str(tmp_path / "h5fit")
+    rc = cli.main(["simca", "--data", out, "--n-components", "4",
+                   "--quiet", "--out-dir", fit_dir])
+    assert rc == 0
+    assert "sensitivity" in _load_json(fit_dir, "metrics.json")["0"]
 
 
 def test_stream_update_fit_screen(tiny_npz, tmp_path):
