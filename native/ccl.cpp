@@ -21,6 +21,7 @@
 // ocm_tpu.utils.native with g++ -O3; scipy remains the fallback.
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -167,6 +168,61 @@ void ocm_gather_object(const float* cube, const int32_t* labels,
   int64_t chunk = (m + nt - 1) / nt;
   for (int t = 0; t < nt; ++t) {
     int64_t b = t * chunk, e = std::min(m, b + chunk);
+    if (b >= e) break;
+    threads.emplace_back(worker, b, e);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// Per-row symmetric int8 quantization of an (n, l) f32 matrix, optionally
+// centered against a shared (l,) offset first: the serving layer's hot
+// host-prep (ocm_tpu/ops/linalg.py quantize_rows_int8).  Bit-identical to
+// the NumPy reference: scale = max(amax/127, 1e-30) in f32, values round
+// half-to-even (nearbyintf under the default FE_TONEAREST), sumsq is the
+// exact int32 sum of squares cast to f32 then scaled left-associatively.
+// Threaded over rows; each row is two streaming passes (amax, then
+// quantize+accumulate) instead of NumPy's ~six materializing ones.
+void ocm_quantize_rows_int8(const float* x, const float* center,
+                            int64_t n, int64_t l, int8_t* q,
+                            float* scale, float* sumsq) {
+  int nt = n_threads_for(n * l);
+  std::vector<std::thread> threads;
+  auto worker = [&](int64_t begin, int64_t end) {
+    for (int64_t r = begin; r < end; ++r) {
+      const float* row = x + r * l;
+      float amax = 0.0f;
+      if (center) {
+        for (int64_t i = 0; i < l; ++i) {
+          float v = std::fabs(row[i] - center[i]);
+          if (v > amax) amax = v;
+        }
+      } else {
+        for (int64_t i = 0; i < l; ++i) {
+          float v = std::fabs(row[i]);
+          if (v > amax) amax = v;
+        }
+      }
+      float s = amax / 127.0f;
+      if (s < 1e-30f) s = 1e-30f;
+      scale[r] = s;
+      int8_t* qrow = q + r * l;
+      int64_t isum = 0;
+      for (int64_t i = 0; i < l; ++i) {
+        float v = center ? row[i] - center[i] : row[i];
+        float rv = std::nearbyintf(v / s);
+        if (rv > 127.0f) rv = 127.0f;
+        if (rv < -127.0f) rv = -127.0f;
+        int32_t qi = static_cast<int32_t>(rv);
+        qrow[i] = static_cast<int8_t>(qi);
+        isum += static_cast<int64_t>(qi) * qi;
+      }
+      // NumPy sums in int32 (exact for l*127^2 < 2^31) then casts f32
+      sumsq[r] = static_cast<float>(static_cast<int32_t>(isum)) * s * s;
+    }
+  };
+  int64_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t b = t * chunk, e = std::min(n, b + chunk);
     if (b >= e) break;
     threads.emplace_back(worker, b, e);
   }

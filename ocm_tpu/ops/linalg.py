@@ -401,7 +401,17 @@ def quantize_rows_int8(a):
 
     Works on NumPy arrays (host-side serving prep: quantize BEFORE the
     host->device transfer) and jnp arrays (device-side, jittable) alike.
+    NumPy 2-D inputs route through the threaded C++ kernel when the
+    native library is available (bit-identical; utils/native.py) — the
+    serving layer's chunk prep is this function, so it sits on the
+    host->device pipeline's critical path.
     """
+    if isinstance(a, np.ndarray) and a.ndim == 2 and a.dtype == np.float32:
+        from ocm_tpu.utils import native
+
+        out = native.quantize_rows_int8(a)
+        if out is not None:
+            return out
     xp = np if isinstance(a, np.ndarray) else jnp
     amax = xp.max(xp.abs(a), axis=-1)
     # floor well inside the normal f32 range: XLA flushes subnormals to

@@ -299,9 +299,20 @@ class SIMCAScorer(_ChunkedScorer):
 
     def _prepare_chunk(self, chunk: np.ndarray) -> tuple:
         if self._int8:
-            from ocm_tpu.ops.linalg import quantize_rows_int8
+            # centering is FUSED into the quantize pass (chunks arrive
+            # raw f32 from _preprocess): the threaded C++ kernel does
+            # center+quantize+rownorm in two streaming passes per row
+            # instead of NumPy's ~seven materializing ones — this prep
+            # is the host side of the H2D pipeline (score(prefetch=))
+            from ocm_tpu.utils import native
 
-            xq, xs, x2 = quantize_rows_int8(np.asarray(chunk, np.float32))
+            chunk = np.asarray(chunk, np.float32)
+            out = native.quantize_rows_int8(chunk, center=self._center)
+            if out is None:      # toolchain-free fallback, bit-identical
+                from ocm_tpu.ops.linalg import quantize_rows_int8
+
+                out = quantize_rows_int8(chunk - self._center[None, :])
+            xq, xs, x2 = out
             return jnp.asarray(xq), jnp.asarray(xs), jnp.asarray(x2)
         if self._multiclass:
             # ship ||xc||^2 precomputed (f32, from the same stored values
@@ -313,11 +324,15 @@ class SIMCAScorer(_ChunkedScorer):
 
     def _preprocess(self, x: np.ndarray) -> np.ndarray:
         if self._center is not None:
-            # center in f32 on the host; with store_dtype=bf16/int8 the
-            # residual ships at half/quarter width (shrinking the
-            # host->device transfer AND the device-side streaming read)
+            if self._int8:
+                # centering happens inside the fused chunk quantize
+                # (_prepare_chunk); hand chunks over as raw f32
+                return np.asarray(x, np.float32)
+            # center in f32 on the host; with store_dtype=bf16 the
+            # residual ships at half width (shrinking the host->device
+            # transfer AND the device-side streaming read)
             x = np.asarray(x, np.float32) - self._center[None, :]
-            if self._store_dtype is not None and not self._int8:
+            if self._store_dtype is not None:
                 import ml_dtypes
 
                 x = x.astype(ml_dtypes.bfloat16)

@@ -13,6 +13,9 @@ compute path never hard-depends on a toolchain:
                                   (y, x) coords for one object
 - ``extract_objects_native(cube, thr)`` — drop-in twin of
   ocm_tpu.utils.io.extract_objects built on the native core.
+- ``quantize_rows_int8(x[, center])`` — fused center+quantize+rownorm
+  serving prep, bit-identical to the NumPy path (measured 3-7.7x on one
+  CPU; docs/BENCHMARKS.md "Native host prep").
 """
 
 from __future__ import annotations
@@ -79,6 +82,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ocm_gather_object.argtypes = [f32p, i32p, i64, i64, i64,
                                           ctypes.c_int32, f32p, i32p]
         lib.ocm_gather_object.restype = None
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.ocm_quantize_rows_int8.argtypes = [f32p, f32p, i64, i64,
+                                               i8p, f32p, f32p]
+        lib.ocm_quantize_rows_int8.restype = None
         _LIB = lib
         return _LIB
 
@@ -175,3 +182,32 @@ def extract_objects_native(cube, background_threshold: float,
             "obj_idx": obj_idx,
         })
     return objects
+
+
+def quantize_rows_int8(a: np.ndarray, center: Optional[np.ndarray] = None):
+    """Threaded C++ per-row int8 quantization (optionally fused with
+    centering) — the serving layer's hot host-prep.  Returns
+    ``(q int8, scale f32, sumsq f32)`` BIT-IDENTICAL to the NumPy path in
+    ocm_tpu.ops.linalg.quantize_rows_int8 (same f32 scale formula,
+    half-to-even rounding, int32 sum-of-squares cast then left-assoc
+    scaling; parity asserted in tests/test_native.py), or ``None`` when
+    the toolchain/library is unavailable so callers fall back."""
+    lib = _load()
+    if lib is None or a.ndim != 2:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.float32)
+    n, l = a.shape
+    if center is not None:
+        center = np.ascontiguousarray(center, dtype=np.float32)
+        if center.shape != (l,):
+            raise ValueError(f"center must be shape ({l},), got "
+                             f"{center.shape}")
+    q = np.empty((n, l), dtype=np.int8)
+    scale = np.empty(n, dtype=np.float32)
+    sumsq = np.empty(n, dtype=np.float32)
+    lib.ocm_quantize_rows_int8(
+        _ptr(a, ctypes.c_float),
+        _ptr(center, ctypes.c_float) if center is not None else None,
+        n, l, _ptr(q, ctypes.c_int8), _ptr(scale, ctypes.c_float),
+        _ptr(sumsq, ctypes.c_float))
+    return q, scale, sumsq

@@ -88,3 +88,54 @@ def test_python_fallback_paths(cube, monkeypatch):
                                rtol=1e-6)
     spectra, coords = native.gather_object(cube, labels, 1)
     np.testing.assert_allclose(spectra, cube[labels == 1])
+
+
+def _quantize_oracle(a: np.ndarray):
+    """The original NumPy formulation of ops.linalg.quantize_rows_int8
+    (kept inline: the library routes 2-D f32 NumPy inputs through the
+    native kernel, so the oracle must not call it)."""
+    amax = np.max(np.abs(a), axis=-1)
+    scale = (np.maximum(amax / 127.0, 1e-30)).astype(np.float32)
+    q = np.clip(np.round(a / scale[..., None]), -127, 127).astype(np.int8)
+    sumsq = (np.sum(q.astype(np.int32) ** 2, axis=-1).astype(np.float32)
+             * scale * scale)
+    return q, scale, sumsq
+
+
+def test_quantize_rows_int8_bit_parity(built, rng):
+    x = (rng.normal(0, 3.0, (257, 129)) * 10.0 ** rng.integers(
+        -2, 3, (257, 1)).astype(np.float64)).astype(np.float32)
+    x[0] = 0.0                       # all-zero row: scale floor, q = 0
+    x[1, :4] = [2.5, 3.5, -2.5, 127.0]   # exact halves at scale 1.0
+    x[1, 4:] = 0.0
+    got = native.quantize_rows_int8(x)
+    assert got is not None
+    want = _quantize_oracle(x)
+    for g, w, name in zip(got, want, ("q", "scale", "sumsq")):
+        np.testing.assert_array_equal(g, w, err_msg=name)
+    # half-to-even at the constructed row
+    np.testing.assert_array_equal(got[0][1, :4], [2, 4, -2, 127])
+
+
+def test_quantize_rows_int8_fused_center(built, rng):
+    x = rng.normal(5.0, 2.0, (64, 96)).astype(np.float32)
+    c = rng.normal(5.0, 0.5, 96).astype(np.float32)
+    got = native.quantize_rows_int8(x, center=c)
+    want = _quantize_oracle(x - c[None, :])
+    for g, w, name in zip(got, want, ("q", "scale", "sumsq")):
+        np.testing.assert_array_equal(g, w, err_msg=name)
+
+
+def test_linalg_quantize_routes_and_falls_back(built, rng, monkeypatch):
+    from ocm_tpu.ops.linalg import quantize_rows_int8 as lq
+
+    x = rng.normal(0, 2.0, (33, 40)).astype(np.float32)
+    want = _quantize_oracle(x)
+    via_native = lq(x)
+    for g, w in zip(via_native, want):
+        np.testing.assert_array_equal(g, w)
+    # library unavailable -> the NumPy path produces the same values
+    monkeypatch.setattr(native, "_load", lambda: None)
+    via_numpy = lq(x)
+    for g, w in zip(via_numpy, want):
+        np.testing.assert_array_equal(g, w)
