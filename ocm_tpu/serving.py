@@ -411,9 +411,18 @@ class VAEScorer(_ChunkedScorer):
                 return {"accept": accept, "t2": t2, "q": q}
 
             if self._multiclass:
-                vmapped = jax.vmap(decide_one, in_axes=(0, 0, None))
-                decide = lambda xc: jax.tree.map(
-                    jnp.transpose, vmapped(bundle, vaesimca_model, xc))
+                # lax.map, NOT vmap: a vmapped class axis turns the
+                # per-class convs into grouped convolutions, which the
+                # MXU tiles poorly — measured 1.6x slower than the same
+                # C dense network passes run sequentially inside one jit
+                # (scripts/probe_multiclass_lowering.py, v5e 2026-08-18:
+                # vmap 23.9 ms vs lax.map 14.1 ms per 8192-chunk).  The
+                # serving win (1 dispatch + 1 H2D per chunk instead of
+                # C) is dispatch amortization, which lax.map keeps.
+                mapped = lambda xc: jax.lax.map(
+                    lambda bv: decide_one(bv[0], bv[1], xc),
+                    (bundle, vaesimca_model))
+                decide = lambda xc: jax.tree.map(jnp.transpose, mapped(xc))
             else:
                 decide = lambda xc: decide_one(bundle, vaesimca_model, xc)
             super().__init__(decide, chunk_size, mesh)
@@ -432,10 +441,12 @@ class VAEScorer(_ChunkedScorer):
             raise ValueError(f"unknown variant {variant!r}; expected "
                              "d2|d2_q|f|full|vaesimca")
         if self._multiclass:
-            vmapped = jax.vmap(decide_one, in_axes=(0, None))
-            # batch-leading (N, C) orientation, matching SIMCAScorer
-            decide = lambda xc: jax.tree.map(jnp.transpose,
-                                             vmapped(bundle, xc))
+            # lax.map for the class axis (grouped-conv vmap penalty —
+            # see the vaesimca branch note above); batch-leading (N, C)
+            # orientation, matching SIMCAScorer
+            mapped = lambda xc: jax.lax.map(lambda b: decide_one(b, xc),
+                                            bundle)
+            decide = lambda xc: jax.tree.map(jnp.transpose, mapped(xc))
         else:
             decide = lambda xc: decide_one(bundle, xc)
         super().__init__(decide, chunk_size, mesh)

@@ -428,7 +428,13 @@ def stacked_vae():
 @pytest.mark.parametrize("variant", ["d2", "d2_q", "f", "full"])
 def test_vae_scorer_multiclass_matches_single(stacked_vae, variant):
     """One stacked VAEScorer == C single scorers, per class, per variant
-    (incl. the quirk-Q3 per-class batch statistics of variant 'f')."""
+    (incl. the quirk-Q3 per-class batch statistics of variant 'f').
+
+    Exact on CPU (tests run there).  On TPU variant 'f' is only
+    boundary-tolerant (~1% flips at f32 rounding scale) because its
+    criticals come from an SVD of the scored batch — any compilation-
+    context difference shifts them; measured identically for the vmap
+    and lax.map lowerings (docs/PARITY.md Q3 note)."""
     model, bundles, _, stacked, _, xt = stacked_vae
     out = VAEScorer(model, stacked, variant=variant,
                     loss_type="euclidean", chunk_size=64).score(xt)
