@@ -110,8 +110,11 @@ def main(epochs=8, variant="d2", latent_dim=6, chunk_size=2048, seed=42):
     if jax.default_backend() == "cpu":
         print("  (CPU note: the stacked win is dispatch/H2D amortization "
               "on accelerators — C round trips become 1 per chunk; on CPU "
-              "there is no dispatch latency and grouped convs are slower, "
-              "so the loop can win here)")
+              "there is no dispatch latency so the two run about even. "
+              "The class axis lowers through lax.map — sequential dense "
+              "network passes in one program; a vmapped class axis would "
+              "pay a measured 1.7x grouped-conv penalty on the MXU, see "
+              "docs/BENCHMARKS.md 'Stacked multi-class VAE paths')")
     print(f"  decision agreement  : {agree:.4f}")
     accept_rate = np.asarray(out["accept"]).mean(axis=0)
     for nut, rate in zip(nut_types, accept_rate):

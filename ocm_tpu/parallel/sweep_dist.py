@@ -28,9 +28,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ocm_tpu.models.trainer import TrainConfig, TrainResult
 from ocm_tpu.parallel.mesh import cyclic_pad
-from ocm_tpu.utils.sweep import sweep_prep, sweep_result, vmapped_train_body
+from ocm_tpu.utils.sweep import (classes_prep, classes_result,
+                                 classes_train_body, sweep_prep,
+                                 sweep_result, vmapped_train_body)
 
-__all__ = ["train_vae_vmapped_sharded"]
+__all__ = ["train_vae_vmapped_sharded", "train_vae_classes_sharded"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -107,3 +109,67 @@ def train_vae_vmapped_sharded(model, x_cal, x_val, lrs, weight_decays,
     if pad:
         out = jax.tree.map(lambda a: a[:n_cfg], out)
     return sweep_result(out, mean, std, model, epoch_offset=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_classes_jit(model, cfg: TrainConfig, batch_size: int,
+                         mesh: Mesh, model_axis: str):
+    """One compiled sharded per-class trainer per (architecture, config,
+    batch, mesh) — same module-level cache + shard_map rationale as
+    ``_sharded_sweep_jit`` (GSPMD cannot split the vmapped convs'
+    feature-group axis; per-class training needs no collectives)."""
+    from jax import shard_map
+
+    def body(epoch_offset, xcs, xvs, means, stds, cls_rngs):
+        return classes_train_body(model, cfg, batch_size, epoch_offset,
+                                  xcs, xvs, means, stds, cls_rngs)
+
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(),) + (P(model_axis),) * 5,
+        out_specs=P(model_axis), check_vma=False))
+
+
+def train_vae_classes_sharded(model, x_cals, x_vals, cfg: TrainConfig,
+                              mesh: Mesh, rng: jax.Array,
+                              spec_stats=None,
+                              model_axis: str = "model") -> TrainResult:
+    """``utils.sweep.train_vae_classes`` with the CLASS axis on the mesh:
+    every per-class one-class VAE trains on its own chip(s).
+
+    The reference trains per-nut-type VAEs by re-running a whole driver
+    per type, sequentially on one device (vae_bce_nut.py trains one
+    target per run); ``train_vae_classes`` batches that class axis with
+    vmap, and this variant spreads it across the mesh — C independent
+    calibrations become one multi-chip program with zero collectives in
+    the epoch loop.  Same contract as the local version: per-class
+    standardization stats, cyclic padding of unequal class sizes, and a
+    TrainResult whose leaves carry a leading class axis stacked exactly
+    as ``models.bundle.stack_bundles`` (feeds the multi-class
+    ``serving.VAEScorer`` after per-class ``fit_thresholds``).
+
+    Classes auto-pad to a multiple of the mesh's ``model_axis`` size by
+    cyclic repetition (padded classes train real trajectories, dropped
+    from every output).  Numerics: each shard vmaps a NARROWER class
+    slice than the local full-width vmap — the same f32-reassociation
+    tracking contract as ``train_vae_vmapped_sharded`` above.
+    """
+    if model_axis not in mesh.shape:
+        raise ValueError(
+            f"mesh has no axis {model_axis!r} (axes: "
+            f"{tuple(mesh.axis_names)}); build one with "
+            f"make_mesh((n,), ('model',)) or pass model_axis=")
+    xcs, xvs, means, stds, n_max = classes_prep(x_cals, x_vals, spec_stats)
+    n_classes = xcs.shape[0]
+    bs = min(cfg.batch_size, n_max)
+    cls_rngs = jax.random.split(rng, n_classes)
+    (xcs, xvs, means_p, stds_p, cls_rngs), pad = cyclic_pad(
+        (xcs, xvs, means, stds, cls_rngs), mesh.shape[model_axis])
+
+    run = _sharded_classes_jit(model, cfg, bs, mesh, model_axis)
+    out = run(0, jax.numpy.asarray(xcs), jax.numpy.asarray(xvs),
+              jax.numpy.asarray(means_p), jax.numpy.asarray(stds_p),
+              cls_rngs)
+    if pad:
+        out = jax.tree.map(lambda a: a[:n_classes], out)
+    return classes_result(out, means, stds, model)

@@ -350,8 +350,10 @@ class VAEScorer(_ChunkedScorer):
     Passing a STACKED bundle (``models.bundle.stack_bundles`` over
     independently fitted same-architecture classes) screens every class
     from ONE compiled program per chunk: the per-class network passes
-    become a vmapped class axis (grouped convs on device), so a C-class
-    screen — the reference's sequential per-nut-type driver loop
+    run as a lax.map class axis (sequential dense convs in one program —
+    a vmapped class axis lowers to grouped convolutions the MXU tiles
+    1.7x slower, docs/BENCHMARKS.md), so a C-class screen — the
+    reference's sequential per-nut-type driver loop
     (vae_bce_nut.py:113-121) — pays one dispatch and one H2D transfer of
     the chunk instead of C of each.  Outputs then carry a trailing class
     axis ((N, C)); with ``variant='vaesimca'`` the ``vaesimca_model`` must

@@ -322,38 +322,17 @@ _classes_train_loop = functools.partial(
         classes_train_body)
 
 
-def train_vae_classes(model: ConvVAE1D, x_cals, x_vals, cfg: TrainConfig,
-                      rng: jax.Array, spec_stats=None) -> TrainResult:
-    """Train one VAE per CLASS (one architecture, per-class data) as ONE
-    vmapped compiled program.
+def classes_prep(x_cals, x_vals, spec_stats=None):
+    """Shared per-class prep for the vmapped/sharded class trainers:
+    validate, standardize each class by its OWN stats (the reference
+    semantics), cyclic-pad unequal class sizes to the largest, stack.
 
-    The reference trains its per-nut-type one-class VAEs by re-running a
-    whole driver per type (vae_simca_nuts_peanut.py is a single-type
-    script; vae_bce_nut.py trains one target per run) — C sequential
-    training loops.  Here the class axis is a vmap axis: per-class
-    calibration/validation sets, per-class standardization stats (each
-    class's own ``spectral_stats``, the reference semantics) and
-    per-class RNG streams batch into one program on the MXU.
-
-    Unequal class sizes are CYCLIC-padded (verbatim row repeats) to the
-    largest class, so a smaller class trains on a cyclically oversampled
-    calibration set: every sample still appears each epoch, early rows
-    twice, and its padded validation mean re-weights duplicates — exact
-    equality holds for any class at the max size.  With equal sizes,
-    class c runs exactly ``train_vae(model, x_cals[c], x_vals[c], cfg,
-    jax.random.split(rng, C)[c])`` modulo batched-f32 reassociation (the
-    ``train_vae_vmapped`` contract; asserted in tests/test_sweep.py).
-
-    Returns a TrainResult with a leading class axis.  ``result.bundle``
-    is stacked exactly as ``models.bundle.stack_bundles`` produces, so
-    after per-class ``vae_decision.fit_thresholds`` (on the unstacked
-    bundles: ``jax.tree.map(lambda a: a[c], result.bundle)``) the
-    re-stacked models feed the multi-class ``serving.VAEScorer`` directly.
-
-    ``spec_stats``: optional per-class sequence of (mean, std) overrides.
-    """
-    # function-level import: parallel.sweep_dist imports this module at
-    # top level, so the reverse edge must stay out of import time
+    Returns ``(xcs, xvs, means, stds, n_max)`` as stacked NumPy arrays
+    with a leading class axis (single implementation — consumed by both
+    ``train_vae_classes`` and
+    ``parallel.sweep_dist.train_vae_classes_sharded``)."""
+    # function-level import: parallel.mesh sits below utils in the layer
+    # order only at import time (parallel.sweep_dist imports this module)
     from ocm_tpu.parallel.mesh import cyclic_pad_to
 
     n_classes = len(x_cals)
@@ -388,19 +367,58 @@ def train_vae_classes(model: ConvVAE1D, x_cals, x_vals, cfg: TrainConfig,
         xvs.append(cyclic_pad_to((xv - mean) / std, m_max))
         means.append(mean)
         stds.append(std)
-    xcs = jnp.asarray(np.stack(xcs))
-    xvs = jnp.asarray(np.stack(xvs))
-    means = jnp.asarray(np.stack(means))
-    stds = jnp.asarray(np.stack(stds))
-    bs = min(cfg.batch_size, n_max)
-    cls_rngs = jax.random.split(rng, n_classes)
+    return (np.stack(xcs), np.stack(xvs), np.stack(means),
+            np.stack(stds), n_max)
+
+
+def classes_result(out, means, stds, model: ConvVAE1D) -> TrainResult:
+    """Shared per-class epilogue: stacked bundles (exactly the
+    ``models.bundle.stack_bundles`` layout) + TrainResult."""
     (f_params, f_bs, f_opt, best_params, best_bs, best_ep, tl,
-     vls) = _classes_train_loop(model, cfg, bs, 0, xcs, xvs, means, stds,
-                                cls_rngs)
+     vls) = out
     bundles = jax.vmap(
         lambda p, b, m, s: new_bundle(p, b, m, s, model.latent_dim)
-    )(best_params, best_bs, means, stds)
+    )(best_params, best_bs, jnp.asarray(means), jnp.asarray(stds))
     return TrainResult(bundles, tl, vls, best_ep, f_params, f_bs, f_opt)
+
+
+def train_vae_classes(model: ConvVAE1D, x_cals, x_vals, cfg: TrainConfig,
+                      rng: jax.Array, spec_stats=None) -> TrainResult:
+    """Train one VAE per CLASS (one architecture, per-class data) as ONE
+    vmapped compiled program.
+
+    The reference trains its per-nut-type one-class VAEs by re-running a
+    whole driver per type (vae_simca_nuts_peanut.py is a single-type
+    script; vae_bce_nut.py trains one target per run) — C sequential
+    training loops.  Here the class axis is a vmap axis: per-class
+    calibration/validation sets, per-class standardization stats (each
+    class's own ``spectral_stats``, the reference semantics) and
+    per-class RNG streams batch into one program on the MXU.
+
+    Unequal class sizes are CYCLIC-padded (verbatim row repeats) to the
+    largest class, so a smaller class trains on a cyclically oversampled
+    calibration set: every sample still appears each epoch, early rows
+    twice, and its padded validation mean re-weights duplicates — exact
+    equality holds for any class at the max size.  With equal sizes,
+    class c runs exactly ``train_vae(model, x_cals[c], x_vals[c], cfg,
+    jax.random.split(rng, C)[c])`` modulo batched-f32 reassociation (the
+    ``train_vae_vmapped`` contract; asserted in tests/test_sweep.py).
+
+    Returns a TrainResult with a leading class axis.  ``result.bundle``
+    is stacked exactly as ``models.bundle.stack_bundles`` produces, so
+    after per-class ``vae_decision.fit_thresholds`` (on the unstacked
+    bundles: ``jax.tree.map(lambda a: a[c], result.bundle)``) the
+    re-stacked models feed the multi-class ``serving.VAEScorer`` directly.
+
+    ``spec_stats``: optional per-class sequence of (mean, std) overrides.
+    """
+    xcs, xvs, means, stds, n_max = classes_prep(x_cals, x_vals, spec_stats)
+    bs = min(cfg.batch_size, n_max)
+    cls_rngs = jax.random.split(rng, len(x_cals))
+    out = _classes_train_loop(model, cfg, bs, 0, jnp.asarray(xcs),
+                              jnp.asarray(xvs), jnp.asarray(means),
+                              jnp.asarray(stds), cls_rngs)
+    return classes_result(out, means, stds, model)
 
 
 # ---------------------------------------------------------------------------

@@ -419,3 +419,43 @@ def test_cv_sweep_sharded_gram_side_long_spectra():
     shard = cv_sweep_sharded(x, y, 0, mesh=mesh, **kw)
     np.testing.assert_allclose(shard["sens"], local["sens"], atol=1e-8)
     np.testing.assert_allclose(shard["spec"], local["spec"], atol=1e-8)
+
+
+def test_sharded_classes_trainer_matches_local():
+    """train_vae_classes_sharded: 3 per-class VAEs (unequal class sizes)
+    auto-padded onto the 8-chip model axis reproduce the local vmapped
+    train_vae_classes trajectories — the SAME classes_train_body runs,
+    only the class axis is partitioned, so losses match to the fp
+    tracking tolerance (narrower per-shard vmap width reassociates f32;
+    the train_vae_vmapped_sharded contract)."""
+    from ocm_tpu.models.trainer import TrainConfig
+    from ocm_tpu.models.vae import ConvVAE1D
+    from ocm_tpu.parallel.sweep_dist import train_vae_classes_sharded
+    from ocm_tpu.utils.sweep import train_vae_classes
+
+    rng = np.random.default_rng(37)
+    t = np.linspace(0, 1, 40)
+    mk = lambda n, c: (rng.normal(1, .06, (n, 1))
+                       * np.sin(2 * np.pi * (3 + c) * t)
+                       + rng.normal(0, .02, (n, 40))).astype(np.float32)
+    x_cals = [mk(64, 0), mk(48, 1), mk(56, 2)]   # unequal: cyclic pad
+    x_vals = [mk(16, 0), mk(16, 1), mk(16, 2)]
+    model = ConvVAE1D(input_length=40, latent_dim=4, conv_blocks=2,
+                      n_filters=8, hidden_fc=32)
+    cfg = TrainConfig(epochs=3, batch_size=32, loss_type="euclidean")
+    mesh = make_mesh((8,), ("model",))
+    key = jax.random.key(5)
+
+    got = train_vae_classes_sharded(model, x_cals, x_vals, cfg, mesh, key)
+    want = train_vae_classes(model, x_cals, x_vals, cfg, key)
+    assert np.asarray(got.val_losses).shape == (3, 3)
+    np.testing.assert_allclose(np.asarray(got.train_losses),
+                               np.asarray(want.train_losses), rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(got.val_losses),
+                               np.asarray(want.val_losses), rtol=1e-2)
+    # stacked-bundle layout: leading class axis on every leaf, directly
+    # consumable by the multi-class VAEScorer
+    assert np.asarray(got.bundle.spec_mean).shape[0] == 3
+    with pytest.raises(ValueError, match="no axis"):
+        train_vae_classes_sharded(model, x_cals, x_vals, cfg,
+                                  make_mesh((8,), ("data",)), key)
