@@ -47,6 +47,16 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
     return Mesh(arr, axis_names=tuple(axis_names))
 
 
+def require_mesh_axis(mesh: Mesh, axis: str) -> None:
+    """Raise a uniform error when ``axis`` is not one of the mesh's axes
+    (shared guard for every axis-named sharded entry point)."""
+    if axis not in mesh.shape:
+        raise ValueError(
+            f"mesh has no axis {axis!r} (axes: "
+            f"{tuple(mesh.axis_names)}); build one with "
+            f"make_mesh((n,), ({axis!r},)) or pass the axis name")
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (sample) axis; everything else replicated."""
     return NamedSharding(mesh, P(axis))

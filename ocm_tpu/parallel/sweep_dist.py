@@ -27,7 +27,7 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ocm_tpu.models.trainer import TrainConfig, TrainResult
-from ocm_tpu.parallel.mesh import cyclic_pad
+from ocm_tpu.parallel.mesh import cyclic_pad, require_mesh_axis
 from ocm_tpu.utils.sweep import (classes_prep, classes_result,
                                  classes_train_body, sweep_prep,
                                  sweep_result, vmapped_train_body)
@@ -95,11 +95,7 @@ def train_vae_vmapped_sharded(model, x_cal, x_val, lrs, weight_decays,
                        spec_stats, rng, cfg_rngs)
     n_cfg = lrs.shape[0]
 
-    if model_axis not in mesh.shape:
-        raise ValueError(
-            f"mesh has no axis {model_axis!r} (axes: "
-            f"{tuple(mesh.axis_names)}); build one with "
-            f"make_mesh((n,), ('model',)) or pass model_axis=")
+    require_mesh_axis(mesh, model_axis)
     (lrs, weight_decays, betas, cfg_rngs), pad = cyclic_pad(
         (lrs, weight_decays, betas, cfg_rngs), mesh.shape[model_axis])
 
@@ -154,11 +150,7 @@ def train_vae_classes_sharded(model, x_cals, x_vals, cfg: TrainConfig,
     slice than the local full-width vmap — the same f32-reassociation
     tracking contract as ``train_vae_vmapped_sharded`` above.
     """
-    if model_axis not in mesh.shape:
-        raise ValueError(
-            f"mesh has no axis {model_axis!r} (axes: "
-            f"{tuple(mesh.axis_names)}); build one with "
-            f"make_mesh((n,), ('model',)) or pass model_axis=")
+    require_mesh_axis(mesh, model_axis)
     xcs, xvs, means, stds, n_max = classes_prep(x_cals, x_vals, spec_stats)
     n_classes = xcs.shape[0]
     bs = min(cfg.batch_size, n_max)

@@ -415,7 +415,7 @@ class VAEScorer(_ChunkedScorer):
             if self._multiclass:
                 # lax.map, NOT vmap: a vmapped class axis turns the
                 # per-class convs into grouped convolutions, which the
-                # MXU tiles poorly — measured 1.6x slower than the same
+                # MXU tiles poorly — measured 1.7x slower than the same
                 # C dense network passes run sequentially inside one jit
                 # (scripts/probe_multiclass_lowering.py, v5e 2026-08-18:
                 # vmap 23.9 ms vs lax.map 14.1 ms per 8192-chunk).  The
