@@ -367,6 +367,21 @@ def bench_roofline(quick=False):
     _emit("matmul_peak_f32", peak_f32 / 1e12, "TFLOP/s")
     _emit("matmul_peak_bf16", peak_bf16 / 1e12, "TFLOP/s")
 
+    # int8 chain: s8 x s8 -> s32 on the MXU's integer tier; the all-ones
+    # operand makes each product element exactly m, so carry = p // m
+    # returns to exact ones — magnitude-stable without fp rescaling
+    a8 = jnp.ones((m, m), jnp.int8)
+
+    @jax.jit
+    def run8(a):
+        def body(i, carry):
+            p = jnp.dot(carry, a, preferred_element_type=jnp.int32)
+            return (p // m).astype(jnp.int8)
+        return jax.lax.fori_loop(0, inner_mm, body, a)
+
+    peak_s8 = flops / bench_body(run8, a8, inner_mm)
+    _emit("matmul_peak_int8", peak_s8 / 1e12, "TOP/s")
+
     # ---- effective HBM bandwidth (streaming reduction) --------------------
     nbytes = (1 << 27) if quick else (1 << 28)          # 128 / 256 MB
     inner_bw = 16 if quick else 64
