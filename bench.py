@@ -12,9 +12,28 @@ Workload: fit 3 one-class SIMCA models (cheese-scale calibration sets,
 
 Prints ONE JSON line: spectra/sec scored end-to-end (fit + score), with
 vs_baseline = throughput ratio over the CPU reference.
+
+Outage hardening (the round-3 postmortem: the tunnel flapped at driver
+capture time and the round record became the CPU fallback):
+
+- The PARENT process never imports jax.  Every device measurement runs in
+  a fresh SUBPROCESS, because a failed TPU-plugin init is cached for the
+  life of a process — in-process retries can never recover.
+- The TPU probe horizon is minutes with staggered backoff
+  (``OCM_BENCH_PROBE_S``, default 600 s), not 6 quick tries.
+- If the TPU measurement still fails, the CPU-backend fallback runs — and
+  then the TPU is re-probed ONCE more before printing; a late successful
+  TPU measurement wins.  The ``backend`` field tags the line either way.
+
+Env knobs: ``OCM_BENCH_FORCE_CPU=1`` skips all TPU probing;
+``OCM_BENCH_SHAPES="n_cal,length,n_classes,n_score"`` shrinks the workload
+(used by the contract test — it must reach the measurement subprocesses,
+so it travels by env, not monkeypatch); ``OCM_BENCH_PROBE_S``,
+``OCM_BENCH_LATE_PROBE_S``, ``OCM_BENCH_CHILD_TIMEOUT_S`` tune horizons.
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -22,16 +41,22 @@ import time
 import numpy as np
 
 
-def wait_for_device(max_tries=6, wait_s=30, probe_timeout=300):
-    """Block until the hosted TPU backend initializes, probing in a
-    SUBPROCESS (a failed plugin init is cached for the life of a process,
-    so an in-process retry would keep raising).  The axon tunnel has
-    transient outages; the driver runs this script unattended at round
-    end, so a crash here would record no benchmark at all.  Returns False
-    if the device never comes up — the caller then forces the CPU backend
-    so ONE honest JSON line is still emitted.
+def wait_for_device(horizon_s=None, probe_timeout=300, first_wait_s=15.0):
+    """Probe until the hosted TPU backend initializes or ``horizon_s``
+    elapses, probing in a SUBPROCESS (a failed plugin init is cached for
+    the life of a process, so an in-process retry would keep raising).
+    The axon tunnel has transient outages; the driver runs this script
+    unattended at round end, so a crash here would record no benchmark at
+    all.  Waits between probes back off 1.5x up to 90 s.  ``horizon_s=0``
+    means exactly one probe.  Returns False if the device never comes up —
+    the caller then measures on the CPU backend so ONE honest JSON line is
+    still emitted.
     """
-    for i in range(max_tries):
+    if horizon_s is None:
+        horizon_s = float(os.environ.get("OCM_BENCH_PROBE_S", "600"))
+    deadline = time.monotonic() + horizon_s
+    wait = first_wait_s
+    while True:
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
@@ -40,9 +65,11 @@ def wait_for_device(max_tries=6, wait_s=30, probe_timeout=300):
                 return True
         except subprocess.TimeoutExpired:
             pass
-        if i < max_tries - 1:
-            time.sleep(wait_s)
-    return False
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        time.sleep(min(wait, remaining))
+        wait = min(wait * 1.5, 90.0)
 
 
 def make_data(seed=0, n_cal=700, length=500, n_classes=3, n_score=98304):
@@ -57,6 +84,18 @@ def make_data(seed=0, n_cal=700, length=500, n_classes=3, n_score=98304):
     xs = rng.normal(0, 1, size=(n_score, length)) + np.sin(
         2 * np.pi * 3 * t)[None, :]
     return cals, xs
+
+
+def _shape_kwargs():
+    """Workload shape overrides from OCM_BENCH_SHAPES — env, not argv or
+    monkeypatch, because the measurement runs in a subprocess that must
+    rebuild the identical (seeded) data."""
+    s = os.environ.get("OCM_BENCH_SHAPES")
+    if not s:
+        return {}
+    n_cal, length, n_classes, n_score = (int(v) for v in s.split(","))
+    return dict(n_cal=n_cal, length=length, n_classes=n_classes,
+                n_score=n_score)
 
 
 def bench_tpu(cals, xs, k=10, repeats=5, inner_iters=64):
@@ -134,48 +173,89 @@ def bench_cpu_reference(cals, xs, k=10, repeats=2):
     return min(times)
 
 
-def main():
-    import os
-
-    cals, xs = make_data()
-    n_work = xs.shape[0] * len(cals)          # class-scores produced
-    force_cpu = os.environ.get("OCM_BENCH_FORCE_CPU") == "1"
-    if not force_cpu and not wait_for_device():
-        force_cpu = True
-    if force_cpu:
-        # Last resort: the tunnel never came up.  Emit a real (CPU-backend)
-        # measurement rather than crashing with no artifact; the JSON's
-        # "backend" field marks the downgrade.
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-    try:
-        tpu_t = bench_tpu(cals, xs)
-    except RuntimeError:
-        if force_cpu:
-            raise
-        # The tunnel flapped between the probe and the run.  A failed
-        # backend init is cached for the life of the process, so fall
-        # back by RE-EXECING into a fresh CPU-forced process.  Print the
-        # original error first: if this was a REAL device-side failure
-        # (not an outage) the trace must not vanish into the fallback.
-        import traceback
-
-        traceback.print_exc(file=sys.stderr)
-        print("bench.py: TPU run failed; re-execing with the CPU backend",
-              file=sys.stderr)
-        os.environ["OCM_BENCH_FORCE_CPU"] = "1"
-        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+def _child_main(backend):
+    """Measurement subprocess: rebuild the seeded data, run the device
+    measurement on the requested backend, print ONE JSON line with the
+    per-iteration time.  Runs in a FRESH process so a previously cached
+    plugin-init failure in the parent cannot poison it."""
     import jax
-    backend = jax.default_backend()
+
+    if backend == "cpu":
+        # Env var alone is ignored under the axon site hook; the config
+        # update after import is the working override (CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
+    cals, xs = make_data(**_shape_kwargs())
+    t = bench_tpu(cals, xs)
+    print(json.dumps({"t_per_iter": t, "backend": jax.default_backend()}))
+
+
+def _measure(backend, timeout_s):
+    """Run the measurement child for ``backend``; return its parsed JSON
+    record, or None on any failure (nonzero exit, timeout, no JSON)."""
+    env = dict(os.environ, OCM_BENCH_CHILD=backend)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, timeout=timeout_s, env=env)
+    except subprocess.TimeoutExpired:
+        print("bench.py: %s measurement timed out after %ss"
+              % (backend, timeout_s), file=sys.stderr)
+        return None
+    if r.returncode != 0:
+        # Surface the child's failure — if this was a REAL device-side
+        # error (not an outage) the trace must not vanish silently.
+        sys.stderr.write(r.stderr[-4000:])
+        print("bench.py: %s measurement failed (exit %d)"
+              % (backend, r.returncode), file=sys.stderr)
+        return None
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    print("bench.py: %s child printed no JSON" % backend, file=sys.stderr)
+    return None
+
+
+def main():
+    child = os.environ.get("OCM_BENCH_CHILD")
+    if child:
+        _child_main(child)
+        return
+
+    force_cpu = os.environ.get("OCM_BENCH_FORCE_CPU") == "1"
+    child_timeout = float(os.environ.get("OCM_BENCH_CHILD_TIMEOUT_S", "2400"))
+    rec = None
+    if not force_cpu and wait_for_device():
+        rec = _measure("tpu", child_timeout)
+    if rec is None:
+        # Fallback: a real (CPU-backend) measurement rather than no
+        # artifact.  The "backend" field marks the downgrade.
+        rec = _measure("cpu", child_timeout)
+        if not force_cpu:
+            # The fallback took minutes; the tunnel may be back.  Round 3
+            # lost its record to exactly this window — one late re-probe
+            # and a successful TPU line wins over the fallback.
+            late_s = float(os.environ.get("OCM_BENCH_LATE_PROBE_S", "120"))
+            if wait_for_device(horizon_s=late_s):
+                late = _measure("tpu", child_timeout)
+                if late is not None:
+                    rec = late
+    if rec is None:
+        raise SystemExit(
+            "bench.py: both TPU and CPU-backend measurements failed")
+
+    cals, xs = make_data(**_shape_kwargs())
+    n_work = xs.shape[0] * len(cals)          # class-scores produced
     cpu_t = bench_cpu_reference(cals, xs)
-    value = n_work / tpu_t
+    value = n_work / rec["t_per_iter"]
     baseline = n_work / cpu_t
     print(json.dumps({
         "metric": "simca_fit_score_throughput",
         "value": round(value, 1),
         "unit": "class-scores/s",
         "vs_baseline": round(value / baseline, 2),
-        "backend": backend,
+        "backend": rec["backend"],
     }))
 
 

@@ -576,6 +576,11 @@ def _build_scorer(model_dir: str, chunk_size: int = 8192,
 
     from ocm_tpu.serving import VAEScorer
 
+    if not os.path.exists(os.path.join(model_dir, "params.json")):
+        raise SystemExit(
+            f"{model_dir} is not a model run dir (no {SIMCA_MODEL_FILE} "
+            "and no params.json) — point --model-dir at a simca / "
+            "cv --refit / stream-fit / train-vae / hpo output dir")
     if store_dtype == "int8":
         raise SystemExit("--store-dtype int8 is a SIMCA quantized-"
                          "residual store; VAE serving supports bf16")
@@ -970,14 +975,31 @@ def cmd_export_torch(args) -> int:
 # --------------------------------------------------------------- parser
 
 
+class _Parser(argparse.ArgumentParser):
+    """Subcommand parser with prefix abbreviation OFF (an abbreviated
+    ``--out`` must error against ``--out-dir``/``--outlier-components``,
+    not silently pick one) and ``--platform`` accepted AFTER the
+    subcommand too.  SUPPRESS keeps a sub-level default from clobbering a
+    top-level ``--platform cpu`` (argparse reuses one namespace)."""
+
+    def __init__(self, *a, **kw):
+        kw.setdefault("allow_abbrev", False)
+        super().__init__(*a, **kw)
+        self.add_argument("--platform", choices=["cpu", "tpu"],
+                          default=argparse.SUPPRESS,
+                          help="force a JAX backend (default: environment)")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m ocm_tpu",
-        description="TPU-native one-class chemometrics framework CLI")
+        description="TPU-native one-class chemometrics framework CLI",
+        allow_abbrev=False)
     p.add_argument("--platform", default=None,
                    choices=["cpu", "tpu"],
                    help="force a JAX backend (default: environment)")
-    sub = p.add_subparsers(dest="command", required=True)
+    sub = p.add_subparsers(dest="command", required=True,
+                           parser_class=_Parser)
 
     sub.add_parser("info", help="platform/device report")
 

@@ -80,7 +80,7 @@ def main():
             m = jnp.mean(xc, axis=0)
             z = xc - m[None, :]
             with jax.default_matmul_precision("highest"):
-                return (z.T @ z) / (xc.shape[1] - 1.0)
+                return (z.T @ z) / (xc.shape[0] - 1.0)
         return jax.vmap(one)(x3)
 
     @jax.jit

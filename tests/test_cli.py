@@ -387,6 +387,69 @@ def test_plsda_cli(tiny_npz, tmp_path):
     assert os.path.exists(os.path.join(out, "plsda_f1.png"))
 
 
+def test_no_prefix_abbreviation():
+    """`--out` must error against --out-dir (and any other prefix), not
+    silently bind — allow_abbrev=False on every parser (round-3 verdict:
+    the ambiguity was reproduced live)."""
+    p = cli.build_parser()
+    for argv in (["simca", "--out", "x"],
+                 ["cv", "--lv", "3"],
+                 ["train-vae", "--epoch", "2"],
+                 ["screen", "--model", "m", "--model-dir", "d"]):
+        with pytest.raises(SystemExit):
+            p.parse_args(argv)
+
+
+def test_platform_accepted_after_subcommand():
+    p = cli.build_parser()
+    assert p.parse_args(["simca", "--platform", "cpu"]).platform == "cpu"
+    assert p.parse_args(["--platform", "cpu", "simca"]).platform == "cpu"
+    # the sub-level SUPPRESS default must not clobber a top-level value
+    assert p.parse_args(["--platform", "cpu", "screen", "--model-dir",
+                         "m"]).platform == "cpu"
+    # explicit sub-level value wins over the top-level one
+    assert p.parse_args(["--platform", "tpu", "simca", "--platform",
+                         "cpu"]).platform == "cpu"
+    assert p.parse_args(["simca"]).platform is None
+
+
+def test_cv_refit_composes_with_screen(tiny_npz, tmp_path):
+    """cv --refit writes a servable model dir: screen must run against it
+    and agree with the direct API at the chosen LV."""
+    cv_dir = str(tmp_path / "cvfit")
+    rc = cli.main(["cv", "--data", tiny_npz, "--lv-min", "2", "--lv-max",
+                   "3", "--n-splits", "3", "--refit", "--out-dir", cv_dir])
+    assert rc == 0
+    screen_dir = str(tmp_path / "cvscreen")
+    rc = cli.main(["screen", "--data", tiny_npz, "--model-dir", cv_dir,
+                   "--out-dir", screen_dir])
+    assert rc == 0
+    preds = np.load(os.path.join(screen_dir, "predictions.npz"))
+    z = np.load(tiny_npz)
+    assert len(preds["accept"]) == len(z["x_test"])
+
+    from ocm_tpu.models.simca import load_simca_model, simca_decide
+
+    model = load_simca_model(os.path.join(cv_dir, cli.SIMCA_MODEL_FILE))
+    accept, _, _, _ = simca_decide(model, jnp.asarray(z["x_test"]), "alt")
+    np.testing.assert_array_equal(np.asarray(accept),
+                                  preds["accept"].astype(bool))
+
+
+def test_screen_error_surfaces(tiny_npz, tmp_path):
+    # missing model dir -> clean SystemExit, not a traceback
+    with pytest.raises(SystemExit):
+        cli.main(["screen", "--data", tiny_npz,
+                  "--model-dir", str(tmp_path / "nope"),
+                  "--out-dir", str(tmp_path / "s")])
+    # a model dir with no model artifact -> clean SystemExit
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit):
+        cli.main(["screen", "--data", tiny_npz, "--model-dir", str(empty),
+                  "--out-dir", str(tmp_path / "s2")])
+
+
 def test_hpo_tpe_tiny(tiny_npz, tmp_path):
     out = str(tmp_path / "hpo")
     space = tmp_path / "space.json"
@@ -403,3 +466,12 @@ def test_hpo_tpe_tiny(tiny_npz, tmp_path):
     trials = _load_json(out, "trials.json")
     assert len(trials["history"]) == 2
     assert os.path.exists(os.path.join(out, cli.BUNDLE_FILE))
+
+    # an hpo run dir composes with screen (best-trial bundle is servable)
+    screen_dir = str(tmp_path / "hposcreen")
+    rc = cli.main(["screen", "--data", tiny_npz, "--model-dir", out,
+                   "--variant", "d2", "--out-dir", screen_dir])
+    assert rc == 0
+    preds = np.load(os.path.join(screen_dir, "predictions.npz"))
+    z = np.load(tiny_npz)
+    assert len(preds["accept"]) == len(z["x_test"])

@@ -328,6 +328,84 @@ def test_optuna_objective_wrapper_with_fake_trial():
             run_optuna_study(lambda c: 0.0, space, n_trials=1)
 
 
+def test_run_optuna_study_executes_against_fake_optuna(monkeypatch):
+    """The live-Optuna adapter (create_study/TPESampler/MedianPruner/
+    optimize, mirroring /root/reference/optim_bce_nuts.py:286-292) must
+    EXECUTE — optuna is not installed here, so inject tests/fake_optuna
+    as sys.modules['optuna'] and run the real adapter over it."""
+    import sys
+
+    import fake_optuna
+
+    from ocm_tpu.utils.sweep import run_optuna_study
+
+    monkeypatch.setitem(sys.modules, "optuna", fake_optuna)
+    space = {"x": ("uniform", -1.0, 1.0),
+             "k": ("int", 1, 4),
+             "lr": ("loguniform", 1e-4, 1e-1),
+             "c": ("categorical", [0, 1])}
+
+    def objective(cfg):
+        assert -1.0 <= cfg["x"] <= 1.0
+        assert 1 <= cfg["k"] <= 4 and isinstance(cfg["k"], int)
+        assert 1e-4 <= cfg["lr"] <= 1e-1
+        assert cfg["c"] in (0, 1)
+        return -(cfg["x"] - 0.3) ** 2
+
+    study = run_optuna_study(objective, space, n_trials=12, seed=7,
+                             direction="maximize")
+    assert len(study.trials) == 12
+    vals = [t.value for t in study.trials if t.state == "COMPLETE"]
+    assert study.best_value == max(vals)
+    assert set(study.best_params) == set(space)
+    # seeded sampler => reproducible study
+    study2 = run_optuna_study(objective, space, n_trials=12, seed=7,
+                              direction="maximize")
+    assert study2.best_value == study.best_value
+    # minimize direction flips the winner selection
+    study3 = run_optuna_study(lambda cfg: cfg["x"], space, n_trials=6,
+                              seed=3, direction="minimize")
+    assert study3.best_value == min(
+        t.value for t in study3.trials if t.state == "COMPLETE")
+
+
+def test_pruning_report_drives_fake_median_pruner(monkeypatch):
+    """pruning_report wired into a study whose should_prune is a REAL
+    median rule (not a canned bool): a trial tracking worse than the
+    completed median at the same epoch stops early and is marked PRUNED
+    (the reference's trial.report/TrialPruned loop,
+    optim_bce_nuts.py:197-199)."""
+    import sys
+
+    import fake_optuna
+
+    from ocm_tpu.utils.sweep import pruning_report
+
+    monkeypatch.setitem(sys.modules, "optuna", fake_optuna)
+    study = fake_optuna.create_study(
+        direction="minimize",
+        pruner=fake_optuna.MedianPruner(n_startup_trials=1,
+                                        n_warmup_steps=1))
+    trajectories = {0: [5.0, 4.0, 3.0, 2.0, 1.0],      # healthy
+                    1: [5.0, 4.5, 4.4, 4.3, 4.2]}      # tracking worse
+
+    def objective(trial):
+        report = pruning_report(trial)
+        best = float("inf")
+        for epoch, v in enumerate(trajectories[trial.number]):
+            best = min(best, v)
+            if report(epoch, v, v):
+                raise fake_optuna.TrialPruned()
+        return best
+
+    study.optimize(objective, n_trials=2)
+    assert study.trials[0].state == "COMPLETE"
+    assert study.trials[1].state == "PRUNED"
+    # pruned at epoch 1 (4.5 > median 4.0; epoch 0 was warmup)
+    assert max(study.trials[1].intermediate_values) == 1
+    assert study.best_value == 1.0
+
+
 def _sine_data(rng, n, length=40):
     t = np.linspace(0, 1, length)
     return (rng.normal(1, 0.06, (n, 1)) * np.sin(2 * np.pi * 3 * t)
