@@ -74,9 +74,14 @@ def _h5_read(node, file):
     MATLAB writes arrays column-major, so every dataset's axes arrive
     reversed (``.T`` restores MATLAB orientation); structs are HDF5
     groups; cell arrays are object-reference datasets, dereferenced
-    element-wise (ragged cells come back as an object array rather than
-    an opaque np.stack shape error); char arrays are stored as uint16
-    code units and are decoded to Python strings."""
+    element-wise (a single-element cell unwraps to its content, matching
+    what ``_unwrap_cell`` does on the classic-format path; ragged cells
+    come back as an object array rather than an opaque np.stack shape
+    error); char arrays are stored as uint16 code units
+    (``MATLAB_int_decode=2``) and are decoded to Python strings; logicals
+    are stored as uint8 (``MATLAB_int_decode=1``) and decode to bool;
+    empty arrays are stored as their DIMS vector with a ``MATLAB_empty``
+    attribute and decode to a size-0 array, not a bogus dims-valued one."""
     import h5py
 
     if isinstance(node, h5py.Group):
@@ -85,6 +90,11 @@ def _h5_read(node, file):
     mat_class = node.attrs.get("MATLAB_class", b"")
     if isinstance(mat_class, bytes):
         mat_class = mat_class.decode("ascii", "replace")
+    if node.attrs.get("MATLAB_empty"):
+        # the dataset payload is the MATLAB dims vector, e.g. [0, 3]
+        dims = tuple(int(d) for d in np.ravel(data))
+        return np.empty(dims, dtype=np.float64 if mat_class != "char"
+                        else np.dtype("U1"))
     if mat_class == "char":
         rows = np.atleast_2d(np.asarray(data).T)
         strings = ["".join(map(chr, row)) for row in rows.astype(np.uint32)]
@@ -92,6 +102,11 @@ def _h5_read(node, file):
     if isinstance(data, np.ndarray) and data.dtype.kind == "O":
         # cell array: dereference each element through the file
         items = [_h5_read(file[ref], file) for ref in data.reshape(-1)]
+        if len(items) == 1:
+            # {x} unwraps to x — same result the classic path reaches via
+            # loadmat's (1, 1) object array + _unwrap_cell (real MATLAB
+            # struct fields often arrive with this one-level indirection)
+            return items[0]
         vals = [np.squeeze(np.asarray(e)) if isinstance(e, np.ndarray)
                 else e for e in items]
         if (vals and all(isinstance(v, np.ndarray) for v in vals)
@@ -100,7 +115,10 @@ def _h5_read(node, file):
         out = np.empty(len(vals), dtype=object)   # ragged / mixed cell
         out[:] = vals
         return out
-    return np.asarray(data).T
+    out = np.asarray(data).T
+    if mat_class == "logical":
+        out = out.astype(bool)
+    return out
 
 
 def _loadmat(path: str) -> dict:
@@ -174,6 +192,12 @@ def load_swir_mat(path: str, classes, dtype=np.float32):
     Substring matching tries the LONGEST class names first, so a class
     that contains another as a substring (e.g. 'walnut' vs 'nut') claims
     its fields before the shorter name can shadow it.
+
+    Non-numeric fields — description strings, metadata structs, cell
+    arrays — are routed to ``skipped`` instead of crashing the float
+    conversion (real MATLAB acquisition files carry these alongside the
+    cubes; the reference's own field-print loop at nut_data.py:22-25
+    shows the file is a grab-bag).
     """
     raw = _loadmat(path)
     cubes = {cls: [] for cls in classes}
@@ -181,6 +205,12 @@ def load_swir_mat(path: str, classes, dtype=np.float32):
     skipped = []
     for field_name, value in raw.items():
         if field_name.startswith("__"):
+            continue
+        if (isinstance(value, (str, dict))
+                or (isinstance(value, np.ndarray)
+                    and (value.dtype.kind in "OUSV"
+                         or value.dtype.names is not None))):
+            skipped.append(field_name)
             continue
         cube = np.asarray(value, dtype=dtype)
         cls = next((c for c in by_len
