@@ -933,8 +933,19 @@ def cmd_serve(args) -> int:
 
     scorer, info = _build_scorer(args.model_dir, args.chunk_size,
                                  args.store_dtype, args.variant)
+
+    def reload_fn(model_dir):
+        # POST /reload [{"model_dir": ...}]: rebuild from the given run
+        # dir, or re-read the original one (a stream-fit refresh rewrites
+        # the model artifacts in place)
+        sc, inf = _build_scorer(model_dir or args.model_dir,
+                                args.chunk_size, args.store_dtype,
+                                args.variant)
+        return sc, inf, inf.get("input_length")
+
     srv = ScoringServer(scorer, info, host=args.host, port=args.port,
-                        expected_length=info.get("input_length"))
+                        expected_length=info.get("input_length"),
+                        max_queue=args.max_queue, reload_fn=reload_fn)
     if not args.no_warmup:
         print("warming up (chunk-shape compile)...")
         srv.warmup()
@@ -1101,6 +1112,9 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--store-dtype", default=None,
                     choices=["bf16", "int8"])
     pv.add_argument("--chunk-size", type=int, default=8192)
+    pv.add_argument("--max-queue", type=int, default=8,
+                    help="max requests held for the device at once; "
+                         "excess get 429")
     pv.add_argument("--no-warmup", action="store_true")
 
     pu = sub.add_parser("stream-update",

@@ -196,13 +196,30 @@ def moments_update_sharded(mom, x, mesh: Mesh, w=None,
     return run(mom, jnp.asarray(x_p), jnp.asarray(w_p))
 
 
+def _run_capture(run_jit, args, hlo_sink):
+    """Execute a jitted runner, optionally capturing its compiled
+    (post-GSPMD-partitioning) HLO text into ``hlo_sink``.
+
+    The capture path compiles ahead-of-time and executes THE captured
+    executable, so what tests/profilers inspect is exactly what ran —
+    tests/test_partitioning.py asserts the collectives and per-shard
+    operand shapes this module's sharding specs are supposed to produce
+    (a forced-replication regression changes both)."""
+    if hlo_sink is None:
+        return run_jit(*args)
+    compiled = run_jit.lower(*args).compile()
+    hlo_sink.append(compiled.as_text())
+    return compiled(*args)
+
+
 def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
                      n_splits: int = 5, model_axis: str = "model",
                      decision_type: str = "alt", t2_method: str = "Fdist",
                      q_method: str = "jm", t2_cl: float = 0.95,
                      q_cl: float = 0.95, d_cl: float = 0.95,
                      solver: str = "eigh", oversample: int = 10,
-                     subspace_iters: int = 4, side: str = "auto"):
+                     subspace_iters: int = 4, side: str = "auto",
+                     hlo_sink=None):
     """CV fold axis sharded over the mesh: distinct fold fits on distinct
     chips (embarrassingly parallel — the 'model' axis of SURVEY.md 5.8).
 
@@ -249,7 +266,8 @@ def cv_sweep_sharded(x, y, cls_label, lv_values, mesh: Mesh,
                   in_shardings=(folds_sharding, folds_sharding),
                   out_shardings=(folds_sharding, folds_sharding,
                                  folds_sharding))
-    accept, sens, spec = run(jnp.asarray(train_np), jnp.asarray(held_np))
+    accept, sens, spec = _run_capture(
+        run, (jnp.asarray(train_np), jnp.asarray(held_np)), hlo_sink)
     accept, spec = accept[:n_splits], spec[:n_splits]   # drop padded folds
 
     out = cv_mod.pooled_aggregate(accept, spec,
@@ -267,7 +285,7 @@ def cv_sweep_sharded_multiclass(x, y, class_labels, lv_values, mesh: Mesh,
                                 q_cl: float = 0.95, d_cl: float = 0.95,
                                 solver: str = "eigh", oversample: int = 10,
                                 subspace_iters: int = 4,
-                                side: str = "auto"):
+                                side: str = "auto", hlo_sink=None):
     """EVERY class's CV sweep with the flattened (class x fold) axis
     sharded over ``mesh[model_axis]``.
 
@@ -318,9 +336,9 @@ def cv_sweep_sharded_multiclass(x, y, class_labels, lv_values, mesh: Mesh,
     sh = NamedSharding(mesh, P(model_axis))
     run = jax.jit(jax.vmap(per_unit), in_shardings=(sh, sh, sh),
                   out_shardings=(sh, sh, sh))
-    accept, sens, spec = run(jnp.asarray(flat_train),
-                             jnp.asarray(flat_held),
-                             jnp.asarray(flat_other))
+    accept, sens, spec = _run_capture(
+        run, (jnp.asarray(flat_train), jnp.asarray(flat_held),
+              jnp.asarray(flat_other)), hlo_sink)
     accept = accept[:n_units].reshape(n_classes, n_splits, *accept.shape[1:])
     spec = spec[:n_units].reshape(n_classes, n_splits, -1)
 
@@ -338,7 +356,8 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
                         t2_method: str = "Fdist", q_method: str = "jm",
                         t2_cl: float = 0.95, q_cl: float = 0.95,
                         d_cl: float = 0.95, solver: str = "eigh",
-                        oversample: int = 10, subspace_iters: int = 4):
+                        oversample: int = 10, subspace_iters: int = 4,
+                        hlo_sink=None):
     """CV sweep on a 2-D mesh: folds shard over ``model_axis`` AND the
     sample axis shards over ``data_axis`` — the full SURVEY.md 5.8 layout.
 
@@ -453,9 +472,10 @@ def cv_sweep_sharded_2d(x, y, cls_label, lv_values, mesh: Mesh,
                    P(model_axis, None),              # sens (F, L)
                    P(model_axis, None)),             # spec (F, L)
         check_vma=False)
-    accept, sens, spec = jax.jit(run)(
-        x, jnp.asarray(train_np), jnp.asarray(held_np),
-        jnp.asarray(other_np), jnp.asarray(valid_np))
+    accept, sens, spec = _run_capture(
+        jax.jit(run),
+        (x, jnp.asarray(train_np), jnp.asarray(held_np),
+         jnp.asarray(other_np), jnp.asarray(valid_np)), hlo_sink)
 
     accept, spec = accept[:n_splits], spec[:n_splits]   # drop padded folds
     accept = accept[:, :, :n]                        # drop padded columns

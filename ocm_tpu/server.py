@@ -20,7 +20,16 @@ Design notes (TPU serving):
 - The first request pays the chunk-shape compile; ``warmup()`` runs a
   dummy batch at construction so the port only opens hot.
 
-Endpoints: ``GET /health``, ``GET /info``, ``POST /score``.
+- Backpressure: the device lock serializes scoring, so a burst of slow
+  requests would otherwise pile threads up without bound.  At most
+  ``max_queue`` requests may be waiting on the device at once; the rest
+  get an immediate ``429`` so callers can back off or load-balance.
+- Live reload: ``POST /reload`` swaps the resident scorer in place
+  (optionally from a different run dir), so a ``stream-fit`` refresh
+  goes live without dropping the port.
+
+Endpoints: ``GET /health``, ``GET /info``, ``POST /score``,
+``POST /reload``.
 CLI: ``python -m ocm_tpu serve --model-dir <run dir>``.
 """
 
@@ -60,16 +69,31 @@ class ScoringServer:
         ``.port`` after construction)
     expected_length : if given, requests with a different spectral
         length are rejected with 400 instead of a shape error mid-jit
+    max_queue : bound on requests concurrently held for the device lock
+        (in flight + waiting); excess requests get 429 immediately
+    reload_fn : ``reload_fn(model_dir or None) -> (scorer, info,
+        expected_length)``; enables ``POST /reload``.  ``None`` in the
+        call means "reload from wherever the current model came from".
     """
 
     def __init__(self, scorer, info: Optional[dict] = None,
                  host: str = "127.0.0.1", port: int = 0,
-                 expected_length: Optional[int] = None):
+                 expected_length: Optional[int] = None,
+                 max_queue: int = 8, reload_fn=None):
+        if max_queue < 1:
+            raise ValueError(f"max_queue must be >= 1, got {max_queue}")
         self.scorer = scorer
         self.info = dict(info or {})
         self.expected_length = expected_length
+        self.max_queue = max_queue
+        self._reload_fn = reload_fn
         self._lock = threading.Lock()
+        # counts requests holding or waiting for the device lock; a
+        # BoundedSemaphore is exactly that counter with overflow safety
+        self._slots = threading.BoundedSemaphore(max_queue)
+        self._count_lock = threading.Lock()
         self.n_scored = 0
+        self.n_rejected = 0
         self.started = time.time()
         outer = self
 
@@ -93,13 +117,20 @@ class ScoringServer:
                     self._reply_json(200, {
                         "status": "ok",
                         "uptime_s": round(time.time() - outer.started, 3),
-                        "n_scored": outer.n_scored})
+                        "n_scored": outer.n_scored,
+                        "n_rejected": outer.n_rejected})
                 elif self.path == "/info":
                     self._reply_json(200, outer.info)
                 else:
                     self._reply_json(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
+                if self.path == "/reload":
+                    code, obj = outer._handle_reload(
+                        self.rfile.read(
+                            int(self.headers.get("Content-Length", 0))))
+                    self._reply_json(code, obj)
+                    return
                 if self.path != "/score":
                     self._reply_json(404, {"error": f"no route {self.path}"})
                     return
@@ -110,6 +141,13 @@ class ScoringServer:
                 except ValueError as e:
                     self._reply_json(400, {"error": str(e)})
                     return
+                if not outer._slots.acquire(blocking=False):
+                    with outer._count_lock:
+                        outer.n_rejected += 1
+                    self._reply_json(429, {
+                        "error": f"queue full ({outer.max_queue} requests "
+                                 "in flight); retry with backoff"})
+                    return
                 try:
                     with outer._lock:      # one device stream
                         out = outer.scorer.score(x)
@@ -118,6 +156,8 @@ class ScoringServer:
                     self._reply_json(500, {"error":
                                            f"{type(e).__name__}: {e}"})
                     return
+                finally:
+                    outer._slots.release()
                 if "application/x-npz" in self.headers.get("Accept", ""):
                     buf = io.BytesIO()
                     np.savez(buf, **{k: np.asarray(v)
@@ -161,6 +201,40 @@ class ScoringServer:
             raise ValueError(f"model expects L={self.expected_length} "
                              f"spectra, got L={x.shape[1]}")
         return x
+
+    # ------------------------------------------------------------ reload
+
+    def _handle_reload(self, body: bytes):
+        """POST /reload: rebuild the scorer via ``reload_fn`` and swap it
+        under the device lock, so a ``stream-fit`` refresh (or a whole new
+        run dir) goes live without dropping the port.  In-flight requests
+        finish on the old scorer; requests arriving during the swap wait.
+        Returns (status_code, json_payload)."""
+        if self._reload_fn is None:
+            return 501, {"error": "server started without reload_fn; "
+                                  "restart to change models"}
+        model_dir = None
+        if body:
+            try:
+                req = json.loads(body)
+                model_dir = req.get("model_dir")
+            except (json.JSONDecodeError, AttributeError) as e:
+                return 400, {"error": f"bad JSON (want {{'model_dir': "
+                                      f"...}} or empty): {e}"}
+        try:
+            scorer, info, length = self._reload_fn(model_dir)
+        except Exception as e:
+            # the OLD scorer keeps serving — a failed reload must not
+            # take the service down
+            return 500, {"error": f"reload failed, still serving the "
+                                  f"previous model: "
+                                  f"{type(e).__name__}: {e}"}
+        with self._lock:
+            self.scorer = scorer
+            self.info = dict(info or {})
+            self.expected_length = length
+        self.warmup()
+        return 200, {"status": "reloaded", "info": self.info}
 
     # -------------------------------------------------------- lifecycle
 

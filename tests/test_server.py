@@ -11,6 +11,7 @@ these tests are its contract.
 import io
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -208,3 +209,121 @@ def test_build_scorer_run_dir_and_warmup(tmp_path, data):
         assert len(out["accept"]) == 5
     finally:
         srv.stop()
+
+
+def test_queue_overflow_429():
+    """At most max_queue requests may hold/wait for the device; the
+    overflow request gets an immediate 429 (bounded queueing, not an
+    unbounded thread pile-up), and the gate releases afterwards."""
+    gate = threading.Event()
+    started = threading.Event()
+
+    class Slow:
+        def score(self, x):
+            started.set()
+            assert gate.wait(timeout=60)
+            return {"accept": np.ones(len(x), bool)}
+
+    srv = ScoringServer(Slow(), info={}, max_queue=2).start()
+    body = json.dumps({"x": [[1.0, 2.0]]}).encode()
+    codes, lock = [], threading.Lock()
+
+    def worker():
+        try:
+            with _post(srv, body, "application/json") as r:
+                with lock:
+                    codes.append(r.status)
+        except urllib.error.HTTPError as e:
+            with lock:
+                codes.append(e.code)
+            e.close()
+
+    try:
+        threads = [threading.Thread(target=worker) for _ in range(3)]
+        threads[0].start()
+        assert started.wait(timeout=30)   # one request holds the device
+        threads[1].start()                # fills the last queue slot...
+        # ...wait until it occupies the slot (429 arrival proves overflow)
+        deadline = time.time() + 30
+        threads[2].start()
+        while time.time() < deadline:
+            with lock:
+                if 429 in codes:
+                    break
+            time.sleep(0.02)
+        gate.set()
+        for t in threads:
+            t.join(timeout=60)
+        assert sorted(codes) == [200, 200, 429], codes
+        assert srv.n_rejected == 1
+        # the slots were released: a fresh request succeeds
+        with _post(srv, body, "application/json") as r:
+            assert r.status == 200
+    finally:
+        gate.set()
+        srv.stop()
+
+
+def test_reload_endpoint_swaps_scorer():
+    """POST /reload swaps the resident scorer (stream-fit refresh path):
+    decisions flip to the new model, /info updates, a failed reload
+    keeps the old scorer serving, and no reload_fn means 501."""
+
+    class Const:
+        def __init__(self, v):
+            self.v = v
+
+        def score(self, x):
+            return {"accept": np.full(len(x), self.v, bool)}
+
+    def mk_reload(calls):
+        def reload_fn(model_dir):
+            calls.append(model_dir)
+            if model_dir == "broken":
+                raise FileNotFoundError("no such run dir")
+            return Const(False), {"kind": "v2", "input_length": 2}, 2
+        return reload_fn
+
+    calls = []
+    srv = ScoringServer(Const(True), info={"kind": "v1"},
+                        reload_fn=mk_reload(calls)).start()
+    body = json.dumps({"x": [[1.0, 2.0]]}).encode()
+    try:
+        with _post(srv, body, "application/json") as r:
+            assert json.loads(r.read())["accept"] == [True]
+
+        req = urllib.request.Request(
+            _url(srv, "/reload"), data=b"",
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["status"] == "reloaded" and out["info"]["kind"] == "v2"
+        assert calls == [None]            # empty body -> reload in place
+
+        with _post(srv, body, "application/json") as r:
+            assert json.loads(r.read())["accept"] == [False]
+        with urllib.request.urlopen(_url(srv, "/info"), timeout=30) as r:
+            assert json.loads(r.read())["kind"] == "v2"
+
+        # a failed reload keeps serving the previous model
+        req = urllib.request.Request(
+            _url(srv, "/reload"),
+            data=json.dumps({"model_dir": "broken"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 500
+        assert "still serving" in json.loads(exc.value.read())["error"]
+        with _post(srv, body, "application/json") as r:
+            assert json.loads(r.read())["accept"] == [False]
+    finally:
+        srv.stop()
+
+    srv2 = ScoringServer(Const(True), info={}).start()
+    try:
+        req = urllib.request.Request(_url(srv2, "/reload"), data=b"")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 501
+    finally:
+        srv2.stop()
