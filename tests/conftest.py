@@ -23,6 +23,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache, shared across xdist workers AND pytest
+# runs: the suite's wall time is dominated by XLA-CPU compiles of
+# deterministic programs (vmapped VAE train loops, sharded sweeps), so a
+# warm cache turns repeat runs into near-pure execution.  The directory
+# is repo-local (gitignored) so it survives sessions; deleting it only
+# costs one cold run.  Threshold 1 s: cache the expensive executables,
+# skip the thousands of trivial ones (file churn would outweigh wins).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -41,17 +41,23 @@ def test_q_limit_monotone_in_confidence(fitted, method):
 
 
 def test_quantiles_invert_cdfs():
-    """ppf and cdf are inverses over a broad dof grid."""
-    for p in (0.05, 0.5, 0.95, 0.999):
-        for dof in (0.7, 2.0, 9.0, 55.0):
-            x = chi2_ppf(p, dof)
-            np.testing.assert_allclose(float(chi2_cdf(x, dof)), p,
-                                       atol=1e-9)
-    for p in (0.05, 0.5, 0.95):
-        for d1, d2 in ((2.0, 7.0), (10.0, 140.0), (1.0, 3.0)):
-            x = f_ppf(p, d1, d2)
-            np.testing.assert_allclose(float(f_cdf(x, d1, d2)), p,
-                                       atol=1e-9)
+    """ppf and cdf are inverses over a broad dof grid — evaluated as ONE
+    vectorized jitted call per family (the functions' contract is
+    vectorized+jittable; 25 eager scalar bisections took minutes on the
+    CPU backend for identical coverage)."""
+    import jax
+
+    ps, dofs = np.meshgrid([0.05, 0.5, 0.95, 0.999],
+                           [0.7, 2.0, 9.0, 55.0])
+    x = jax.jit(chi2_ppf)(ps, dofs)
+    np.testing.assert_allclose(np.asarray(jax.jit(chi2_cdf)(x, dofs)),
+                               ps, atol=1e-9)
+    d12 = np.array([(2.0, 7.0), (10.0, 140.0), (1.0, 3.0)])
+    pf, d1 = np.meshgrid([0.05, 0.5, 0.95], d12[:, 0])
+    _, d2 = np.meshgrid([0.05, 0.5, 0.95], d12[:, 1])
+    xf = jax.jit(f_ppf)(pf, d1, d2)
+    np.testing.assert_allclose(np.asarray(jax.jit(f_cdf)(xf, d1, d2)),
+                               pf, atol=1e-9)
 
 
 def test_alt_boundary_is_quarter_circle(fitted):
