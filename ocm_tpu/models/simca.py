@@ -71,6 +71,13 @@ def fit_simca(x_cls, n_components: int, decision_type: str = "alt",
     ``SIMCAModel.eigenvalues`` holds the full spectrum for 'svd' and the
     top-(k + oversample) spectrum for 'rsvd'.
     """
+    max_k = min(x_cls.shape)
+    if not 0 < n_components <= max_k:
+        # the reference's sklearn PCA raises the equivalent bound error
+        # (utils/SIMCA.py:66 via sklearn.decomposition.PCA.fit)
+        raise ValueError(
+            f"n_components={n_components} must be in [1, min(n_samples,"
+            f" length)={max_k}]")
     if solver == "rsvd":
         return _fit_simca_rsvd(x_cls, n_components, decision_type,
                                t2_method, q_method, t2_cl, q_cl, d_cl,
@@ -473,6 +480,13 @@ def fit_simca_masked(x, w, n_components: int, decision_type: str = "alt",
     path; ``fit_classes(..., solver='rsvd')`` reaches it for unequal
     class sizes.
     """
+    if not 0 < n_components <= min(x.shape):
+        # static shape bound only — the effective masked count is a traced
+        # value; per-class count bounds are validated by the callers
+        # (fit_classes / the SIMCA wrapper)
+        raise ValueError(
+            f"n_components={n_components} must be in [1, min(n_samples,"
+            f" length)={min(x.shape)}]")
     if solver == "rsvd":
         w_f = w.astype(x.dtype)
         n_eff = jnp.sum(w_f)

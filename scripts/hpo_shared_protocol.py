@@ -21,6 +21,7 @@ docs/QUALITY.md.  CPU run (the schedulers' QUALITY is platform-free;
 wall-clock comparisons live in docs/BENCHMARKS.md).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -34,6 +35,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the arms share three ConvVAE1D architectures
+# (latent_dim in {8,16,32}), so later seeds/arms/invocations skip the
+# trainer compiles entirely
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_hpo")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 
@@ -86,15 +92,35 @@ def main():
                                max_epochs=MAX_EPOCHS, reduction=3,
                                seed=seed, base_config=BASE, verbose=False)
 
-    arms = [("full-fidelity (TPE sampler, no pruning)", arm_full),
-            ("TPE + MedianPruner", arm_tpe),
-            ("ASHA (rungs 3/9/27)", arm_asha),
-            ("BOHB (3 brackets x 6)", arm_bohb)]
+    all_arms = {"full": ("full-fidelity (TPE sampler, no pruning)",
+                         arm_full),
+                "tpe": ("TPE + MedianPruner", arm_tpe),
+                "asha": ("ASHA (rungs 3/9/27)", arm_asha),
+                "bohb": ("BOHB (3 brackets x 6)", arm_bohb)}
 
-    results = {}
-    for name, fn in arms:
-        rows = []
-        for seed in SEEDS:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arms", nargs="+", default=list(all_arms),
+                    choices=list(all_arms))
+    ap.add_argument("--seeds", nargs="+", type=int, default=list(SEEDS))
+    ap.add_argument("--out", default="out/hpo_shared_protocol.json")
+    args = ap.parse_args()
+
+    # append to an existing record so the protocol can run as several
+    # invocations (cheap adaptive arms first, the expensive full-fidelity
+    # anchor as time allows)
+    record = {"seeds": list(SEEDS), "n_trials": N_TRIALS,
+              "max_epochs": MAX_EPOCHS, "space": str(SPACE),
+              "base": BASE, "results": {}}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            record = json.load(f)
+
+    for seed in args.seeds:
+        for key in args.arms:
+            name, fn = all_arms[key]
+            rows = record["results"].setdefault(name, [])
+            if any(r["seed"] == seed for r in rows):
+                continue
             t0 = time.time()
             out = fn(seed)
             rows.append({"seed": seed,
@@ -105,18 +131,14 @@ def main():
                   f"{rows[-1]['best_value']:.6f}, "
                   f"{rows[-1]['total_epochs']} epochs, "
                   f"{rows[-1]['wall_s']} s", flush=True)
-        results[name] = rows
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump(record, f, indent=1)
 
-    os.makedirs("out", exist_ok=True)
-    with open("out/hpo_shared_protocol.json", "w") as f:
-        json.dump({"seeds": SEEDS, "n_trials": N_TRIALS,
-                   "max_epochs": MAX_EPOCHS, "space": str(SPACE),
-                   "base": BASE, "results": results}, f, indent=1)
-
-    print("\n| arm | best val loss (3 seeds) | mean | epochs (3 seeds)"
-          " | mean % of 486 |")
+    print(f"\n| arm | best val loss ({len(args.seeds)} seeds) | mean | "
+          "epochs | mean % of 486 |")
     print("|---|---|---|---|---|")
-    for name, rows in results.items():
+    for name, rows in record["results"].items():
         vals = [r["best_value"] for r in rows]
         eps = [r["total_epochs"] for r in rows]
         print(f"| {name} | {', '.join(f'{v:.5f}' for v in vals)} | "

@@ -641,3 +641,20 @@ def test_masked_pca_gram_degenerate_directions(rng):
     a_g, d_g, _, _ = simca.simca_decide(m_g, jnp.asarray(x_new))
     np.testing.assert_allclose(np.asarray(d_g), want_dred, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(a_g), want_acc)
+
+
+def test_fit_simca_rejects_excess_components(rng):
+    """sklearn PCA raises when k > min(n, L); the functional fits must too
+    (the SIMCA wrapper already validated — this pins the lower layer)."""
+    x = make_class_spectra(rng, 6, 12)
+    for solver in ("svd", "rsvd"):
+        with pytest.raises(ValueError, match="n_components"):
+            simca.fit_simca(x[:2], n_components=5, solver=solver)
+        with pytest.raises(ValueError, match="n_components"):
+            simca.fit_simca(x, n_components=0, solver=solver)
+    with pytest.raises(ValueError, match="n_components"):
+        simca.fit_simca_masked(jnp.asarray(x), jnp.ones(6),
+                               n_components=13)
+    # boundary k == min(n, L) is legal
+    m = simca.fit_simca(x, n_components=6)
+    assert m.components.shape == (6, 12)
