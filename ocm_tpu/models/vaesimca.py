@@ -201,13 +201,18 @@ def predict_vaesimca(model: ConvVAE1D, bundle: OCMBundle,
     mu32 = mu.astype(jnp.promote_types(mu.dtype, jnp.float32))
     t2 = mahalanobis_sq(mu32, vs.latent_mean, vs.invcovT)
     q = _latent_roundtrip_q(model, bundle, mu, compat_double_standardize)
-    if decision_type == "alt":
-        d = jnp.sqrt((t2 / vs.t2_limit) ** 2 + (q / vs.q_limit) ** 2)
-    elif decision_type == "dd":
-        d = t2 * vs.t2_dof / vs.t2_scale + q * vs.q_dof / vs.q_scale
-    else:
-        d = jnp.maximum(t2 / vs.t2_limit, q / vs.q_limit)
+    d = reduced_d(vs, t2, q, decision_type)
     return d < vs.d_limit, t2, q
+
+
+def reduced_d(vs: VAESIMCAModel, t2, q, decision_type: str = "alt"):
+    """Combined reduced distance compared against ``vs.d_limit``
+    (VAE_SIMCA.py:361-376; the decision is ``reduced_d(...) < vs.d_limit``)."""
+    if decision_type == "alt":
+        return jnp.sqrt((t2 / vs.t2_limit) ** 2 + (q / vs.q_limit) ** 2)
+    if decision_type == "dd":
+        return t2 * vs.t2_dof / vs.t2_scale + q * vs.q_dof / vs.q_scale
+    return jnp.maximum(t2 / vs.t2_limit, q / vs.q_limit)
 
 
 class VAESIMCA:
