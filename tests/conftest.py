@@ -32,7 +32,11 @@ jax.config.update("jax_enable_x64", True)
 # skip the thousands of trivial ones (file churn would outweigh wins).
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# 0.05 s threshold: the suite compiles THOUSANDS of 0.1-0.5 s programs
+# (small eigh/GEMM/vmapped trainers at test shapes), and with xdist each
+# worker recompiles them per run -- caching nearly everything measured
+# 23:04 -> 15:xx wall on the full suite (docs/VERIFICATION.md round 4).
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
