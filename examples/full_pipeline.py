@@ -28,6 +28,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__))
                 if "__file__" in globals() else os.getcwd())
+import _bootstrap  # noqa: E402,F401  repo root on sys.path + TPU-outage CPU fallback
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,13 @@ Run: python examples/streaming_refresh.py  (synthetic data; CPU or TPU)
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__))
+                if "__file__" in globals() else os.getcwd())
+import _bootstrap  # noqa: E402,F401  repo root on sys.path + TPU-outage CPU fallback
 import numpy as np
 
 

@@ -203,6 +203,16 @@ def fit_classes(x, classes, class_labels, n_components: int, **kwargs):
     x = jnp.asarray(x)
     classes = np.asarray(classes)
     counts = [int(np.sum(classes == c)) for c in class_labels]
+    # n_components must fit the SMALLEST class: the masked path fits a
+    # k-dim subspace per class from its effective rows, and k > count
+    # yields NaN limits that silently corrupt argmin-based prediction.
+    bad = [(c, cnt) for c, cnt in zip(class_labels, counts)
+           if n_components > min(cnt, x.shape[1])]
+    if bad:
+        raise ValueError(
+            f"n_components={n_components} exceeds the effective bound "
+            f"min(count, L={x.shape[1]}) for class(es) "
+            + ", ".join(f"{c!r} (count={cnt})" for c, cnt in bad))
     n_max = max(counts)
     stacked = np.zeros((len(class_labels), n_max, x.shape[1]), dtype=x.dtype)
     for i, c in enumerate(class_labels):

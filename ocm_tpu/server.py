@@ -223,7 +223,11 @@ class ScoringServer:
                                       f"...}} or empty): {e}"}
         try:
             scorer, info, length = self._reload_fn(model_dir)
-        except Exception as e:
+        except (Exception, SystemExit) as e:
+            # SystemExit included: the CLI-built reload_fn surfaces user
+            # errors (bad --model-dir, int8 on a VAE dir) as SystemExit,
+            # which is a BaseException and would otherwise escape, kill
+            # the handler thread, and reset the connection.
             # the OLD scorer keeps serving — a failed reload must not
             # take the service down
             return 500, {"error": f"reload failed, still serving the "

@@ -178,6 +178,14 @@ class SIMCAClassifier(ClassifierMixin, BaseEstimator):
             # dense solver is the Gram-side eigh ('svd' is the dense-path
             # name for the same decomposition) and which standardizes
             # dtype itself
+            if self.dtype is not None:
+                import warnings
+
+                warnings.warn(
+                    "SIMCAClassifier(dtype=...) is ignored when class "
+                    "sizes are unequal: the masked batched fit "
+                    "standardizes its own compute dtype", UserWarning,
+                    stacklevel=2)
             kwargs.pop("dtype")
             if kwargs["solver"] == "svd":
                 kwargs["solver"] = "eigh"

@@ -28,14 +28,13 @@ jax.config.update("jax_enable_x64", True)
 # deterministic programs (vmapped VAE train loops, sharded sweeps), so a
 # warm cache turns repeat runs into near-pure execution.  The directory
 # is repo-local (gitignored) so it survives sessions; deleting it only
-# costs one cold run.  Threshold 1 s: cache the expensive executables,
-# skip the thousands of trivial ones (file churn would outweigh wins).
+# costs one cold run.
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), ".jax_cache"))
 # 0.05 s threshold: the suite compiles THOUSANDS of 0.1-0.5 s programs
 # (small eigh/GEMM/vmapped trainers at test shapes), and with xdist each
-# worker recompiles them per run -- caching nearly everything measured
-# 23:04 -> 15:xx wall on the full suite (docs/VERIFICATION.md round 4).
+# worker recompiles them per run, so cache nearly everything.  Timed
+# warm-cache certification run recorded in docs/VERIFICATION.md (round 5).
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
 
 import numpy as np  # noqa: E402

@@ -10,6 +10,7 @@ these tests are its contract.
 
 import io
 import json
+import os
 import threading
 import time
 import urllib.error
@@ -327,3 +328,48 @@ def test_reload_endpoint_swaps_scorer():
         assert exc.value.code == 501
     finally:
         srv2.stop()
+
+
+def test_reload_cli_reload_fn_systemexit_returns_500(tmp_path, data):
+    """A reload through the CLI-built reload_fn pointing at a NON-model
+    dir raises SystemExit (a BaseException) inside the handler; the
+    server must translate it to the documented 500 and keep serving the
+    previous model instead of resetting the connection (round-4 advisor
+    finding)."""
+    from ocm_tpu import cli
+    from ocm_tpu.models.simca import fit_simca
+
+    x_tr, y_tr, _, _ = data
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    model = fit_simca(jnp.asarray(x_tr[y_tr == 0]), 3)
+    cli._save_simca_model(run_dir, model,
+                          {"kind": "simca", "stacked": False,
+                           "class_labels": [0], "decision_type": "alt",
+                           "n_components": 3})
+
+    def reload_fn(model_dir):
+        # exactly cmd_serve's shape: _build_scorer raises SystemExit on
+        # a dir that is not a model run dir
+        sc, inf = cli._build_scorer(model_dir or run_dir, 256, None, "d2")
+        return sc, inf, inf.get("input_length")
+
+    scorer, info = cli._build_scorer(run_dir, 256, None, "d2")
+    srv = ScoringServer(scorer, info,
+                        expected_length=info.get("input_length"),
+                        reload_fn=reload_fn).start()
+    body = json.dumps({"x": np.asarray(x_tr[:2]).tolist()}).encode()
+    try:
+        req = urllib.request.Request(
+            _url(srv, "/reload"),
+            data=json.dumps({"model_dir": str(tmp_path / "nope")}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 500
+        assert "still serving" in json.loads(exc.value.read())["error"]
+        # the old scorer still answers
+        with _post(srv, body, "application/json") as r:
+            assert r.status == 200
+    finally:
+        srv.stop()

@@ -192,6 +192,20 @@ def test_fit_classes_unequal_sizes(rng):
         np.testing.assert_array_equal(np.asarray(accept[c]), np.asarray(a))
 
 
+def test_fit_classes_rejects_k_above_smallest_class(rng):
+    """n_components above min(count, L) for ANY class raises up front on
+    the masked (unequal-size) path too — a silent fit there produces NaN
+    limits that corrupt argmin prediction (round-4 advisor finding)."""
+    xs = [make_class_spectra(rng, n, 40, center_shift=s)
+          for n, s in [(3, 0.0), (90, 0.5)]]
+    x = np.vstack(xs)
+    y = np.repeat([0, 1], [3, 90])
+    with pytest.raises(ValueError, match="exceeds the effective bound"):
+        simca.fit_classes(x, y, [0, 1], 4)
+    # the bound itself still fits
+    simca.fit_classes(x, y, [0, 1], 2)
+
+
 @pytest.mark.parametrize("dt,t2m,qm", [("alt", "Fdist", "jm"),
                                        ("dd", "chi2pom", "chi2pom"),
                                        ("ci", "perc", "perc")])

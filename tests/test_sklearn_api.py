@@ -123,6 +123,21 @@ def test_classifier_validation(blobs):
         SIMCAClassifier().predict(X)
 
 
+def test_classifier_unequal_sizes_warns_on_dtype(blobs):
+    """A user-specified dtype cannot be honored on the masked
+    (unequal-size) path — warn instead of silently changing compute
+    dtype with class balance (round-4 advisor finding)."""
+    X, y = blobs
+    Xu, yu = X[3:], y[3:]  # drop 3 rows of class 0 -> unequal counts
+    with pytest.warns(UserWarning, match="dtype.*ignored"):
+        SIMCAClassifier(n_components=3, dtype=jnp.float32).fit(Xu, yu)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        SIMCAClassifier(n_components=3).fit(Xu, yu)  # default: no warning
+
+
 def test_vaesimca_one_class(blobs):
     X, y = blobs
     x0 = X[y == 0].astype(np.float32)
