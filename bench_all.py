@@ -467,6 +467,55 @@ def bench_streaming(quick=False):
                  "spectra/s (screen+ingest+refresh)")
 
 
+def bench_hsi_cube(quick=False):
+    """HSI cube-scale raw-ingest pipeline: uint16 camera counts ->
+    SNV+SavGol -> center -> fused 3-class scoring, ALL inside one
+    compiled program per chunk (serving.SIMCAScorer(preprocess_fn=...)).
+    Metric: device pixel-spectra/s of the fused ingest+screen program
+    (the e2e number through the tunnel is H2D-bound — measured and
+    decomposed in examples/hsi_pipeline.py --cube-scale and
+    docs/BENCHMARKS.md cube-scale section)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ocm_tpu.models.simca import fit_classes, predict_classes
+    from ocm_tpu.ops.preprocess import snv_savgol
+    from ocm_tpu.utils.profiling import timeit
+
+    length, chunk, inner = (128, 8192, 8) if quick else (288, 65536, 32)
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 1, length)
+    cal, y = [], []
+    for c in range(3):
+        base = np.sin(2 * np.pi * (2 + 0.5 * c) * t) + 1.5 + 0.3 * c
+        amp = rng.normal(1.0, 0.05, (2000, 1))
+        cal.append(np.clip(np.round((amp * base[None, :] + rng.normal(
+            0, 0.02, (2000, length))) * 1e4), 0, 65535).astype(np.float32))
+        y.append(np.full(2000, c))
+    prep = lambda a: snv_savgol(a, 5, 2, 1)  # noqa: E731
+    x_cal = prep(jnp.asarray(np.concatenate(cal)))
+    models = fit_classes(np.asarray(x_cal), np.concatenate(y), [0, 1, 2], 10)
+    x_raw = jnp.asarray(rng.integers(0, 40000, (chunk, length)), jnp.uint16)
+    x_off = jnp.mean(models.mean, axis=0)
+
+    @jax.jit
+    def run(x0):
+        def body(i, acc):
+            # index-perturb the RAW counts so nothing constant-folds
+            xc = prep((x0 + (i % 7).astype(jnp.uint16)
+                       ).astype(jnp.float32)) - x_off
+            accept, dred, t2, q = predict_classes(
+                models, xc, x_offset=x_off,
+                x_sumsq=jnp.sum(jnp.square(xc), axis=1))
+            return acc + jnp.sum(dred) + jnp.sum(accept)
+
+        return jax.lax.fori_loop(0, inner, body, jnp.float32(0.0))
+
+    dt = timeit(run, x_raw, repeats=3 if quick else 5)["best"] / inner
+    return _emit("hsi_raw_ingest_throughput", chunk / dt,
+                 "pixel-spectra/s (device, fused uint16 ingest+3-class)")
+
+
 BENCHES = {
     "simca": bench_simca,
     "cvsimca": bench_cvsimca,
@@ -474,6 +523,7 @@ BENCHES = {
     "vae_simca": bench_vae_simca,
     "batched_sweep": bench_batched_sweep,
     "streaming": bench_streaming,
+    "hsi_cube": bench_hsi_cube,
     "roofline": bench_roofline,
 }
 

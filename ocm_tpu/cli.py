@@ -556,7 +556,8 @@ def cmd_train_vae(args) -> int:
 
 
 def _build_scorer(model_dir: str, chunk_size: int = 8192,
-                  store_dtype: Optional[str] = None, variant: str = "d2"):
+                  store_dtype: Optional[str] = None, variant: str = "d2",
+                  pin_f_stats: bool = False):
     """(scorer, info) from any model-producing run dir (simca /
     cv --refit / stream-fit / train-vae / hpo).  Shared by ``screen``
     and ``serve``."""
@@ -584,6 +585,9 @@ def _build_scorer(model_dir: str, chunk_size: int = 8192,
     if store_dtype == "int8":
         raise SystemExit("--store-dtype int8 is a SIMCA quantized-"
                          "residual store; VAE serving supports bf16")
+    if pin_f_stats and variant != "f":
+        raise SystemExit("--pin-f-stats applies only to --variant f "
+                         "(the quirk-Q3 batch statistics)")
     model, bundle, params_all = _load_vae_dir(model_dir)
     loss_type = params_all.get("train", {}).get("loss_type", "cosine")
     vaesimca_model = None
@@ -600,8 +604,9 @@ def _build_scorer(model_dir: str, chunk_size: int = 8192,
                        loss_type=loss_type, chunk_size=chunk_size,
                        vaesimca_model=vaesimca_model,
                        compute_dtype=(jnp.bfloat16 if store_dtype == "bf16"
-                                      else None))
+                                      else None), pin_f_stats=pin_f_stats)
     info = {"kind": "vae", "variant": variant, "loss_type": loss_type,
+            "pin_f_stats": bool(pin_f_stats),
             "target_class": int(params_all.get("target_class", 0)),
             "class_labels": params_all.get("class_labels"),
             "input_length": int(params_all["arch"]["input_length"]),
@@ -621,7 +626,8 @@ def cmd_screen(args) -> int:
     (x_ts,) = _preprocess(args, x_ts)
 
     scorer, info = _build_scorer(args.model_dir, args.chunk_size,
-                                 args.store_dtype, args.variant)
+                                 args.store_dtype, args.variant,
+                                 pin_f_stats=args.pin_f_stats)
     out = scorer.score(x_ts)
     metrics = None
     if info.get("kind") == "simca":
@@ -932,7 +938,8 @@ def cmd_serve(args) -> int:
     from ocm_tpu.server import ScoringServer
 
     scorer, info = _build_scorer(args.model_dir, args.chunk_size,
-                                 args.store_dtype, args.variant)
+                                 args.store_dtype, args.variant,
+                                 pin_f_stats=args.pin_f_stats)
 
     def reload_fn(model_dir):
         # POST /reload [{"model_dir": ...}]: rebuild from the given run
@@ -940,7 +947,8 @@ def cmd_serve(args) -> int:
         # the model artifacts in place)
         sc, inf = _build_scorer(model_dir or args.model_dir,
                                 args.chunk_size, args.store_dtype,
-                                args.variant)
+                                args.variant,
+                                pin_f_stats=args.pin_f_stats)
         return sc, inf, inf.get("input_length")
 
     srv = ScoringServer(scorer, info, host=args.host, port=args.port,
@@ -1083,6 +1091,11 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["bf16", "int8"],
                     help="quantized serving (SIMCA store / VAE compute)")
     pr.add_argument("--chunk-size", type=int, default=8192)
+    pr.add_argument("--pin-f-stats", action="store_true",
+                    help="variant-f only: compute the quirk-Q3 batch "
+                         "statistics on the host in float64 so decisions "
+                         "are stable across compilation contexts "
+                         "(docs/PARITY.md Q3)")
     pr.add_argument("--use-train", action="store_true",
                     help="screen the training split instead of test")
     pr.add_argument("--no-metrics", action="store_true")
@@ -1112,6 +1125,9 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--store-dtype", default=None,
                     choices=["bf16", "int8"])
     pv.add_argument("--chunk-size", type=int, default=8192)
+    pv.add_argument("--pin-f-stats", action="store_true",
+                    help="variant-f only: host-f64 quirk-Q3 statistics "
+                         "(docs/PARITY.md Q3)")
     pv.add_argument("--max-queue", type=int, default=8,
                     help="max requests held for the device at once; "
                          "excess get 429")

@@ -42,8 +42,13 @@ class _ChunkedScorer:
     """Shared machinery: compile once per chunk shape, pad ragged tails."""
 
     def __init__(self, decide_fn, chunk_size: int = 8192,
-                 mesh=None, axis: str = "data"):
+                 mesh=None, axis: str = "data", post_fn=None):
         self.chunk_size = int(chunk_size)
+        # host-side per-chunk epilogue, applied to the fetched np pytree
+        # BEFORE the pad rows are sliced off (so batch-dependent
+        # statistics — quirk Q3 — see the same padded batch the compiled
+        # path would)
+        self._post = post_fn
         if mesh is not None:
             from ocm_tpu.parallel.mesh import batch_sharding
 
@@ -52,6 +57,12 @@ class _ChunkedScorer:
                                out_shardings=sharding)
         else:
             self._fn = jax.jit(decide_fn)
+
+    def _fetch(self, res, n: int) -> dict:
+        out = jax.tree.map(np.asarray, res)
+        if self._post is not None:
+            out = self._post(out)
+        return jax.tree.map(lambda a: a[:n], out)
 
     def _preprocess(self, x: np.ndarray) -> np.ndarray:
         """Whole-batch host prep before chunking (identity here;
@@ -82,8 +93,7 @@ class _ChunkedScorer:
         return out
 
     def score_prepared(self, prepared: list) -> dict:
-        outs = [jax.tree.map(lambda a: np.asarray(a)[:n], self._fn(*args))
-                for args, n in prepared]
+        outs = [self._fetch(self._fn(*args), n) for args, n in prepared]
         if not outs:
             return {}
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
@@ -116,8 +126,7 @@ class _ChunkedScorer:
         if prefetch <= 0 or len(starts) <= 1:
             for start in starts:
                 args, n = prep(start)
-                res = self._fn(*args)
-                outs.append(jax.tree.map(lambda a: np.asarray(a)[:n], res))
+                outs.append(self._fetch(self._fn(*args), n))
         else:
             from collections import deque
             from concurrent.futures import ThreadPoolExecutor
@@ -134,8 +143,7 @@ class _ChunkedScorer:
                     nxt = next(it, None)
                     if nxt is not None:         # prep next BEFORE fetching
                         pending.append(ex.submit(prep, nxt))
-                    outs.append(jax.tree.map(lambda a: np.asarray(a)[:n],
-                                             res))
+                    outs.append(self._fetch(res, n))
         if not outs:
             return {}
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
@@ -188,11 +196,25 @@ class SIMCAScorer(_ChunkedScorer):
     flip within ~15% of the critical distance.  Per-row quantization of
     the RESIDUAL keeps the common mode out of the error budget the same
     way the bf16 path does.
+
+    ``preprocess_fn`` (mutually exclusive with ``store_dtype``) enables
+    CAMERA-NATIVE RAW INGEST: chunks ship at their storage dtype (e.g.
+    uint16 counts straight off a SWIR line-scan camera — half the f32
+    bytes, zero host prep work) and ``preprocess_fn`` (any jittable
+    ``(n, L_raw) -> (n, L)`` map, e.g.
+    ``lambda x: snv_savgol(x, 5, 2, 1)``) runs FUSED with centering,
+    ``||.||^2`` and the decision inside one compiled program per chunk.
+    This is the reference's whole ingest loop (nut_data.py pixel prep +
+    utils/SIMCA.py scoring) as a single XLA program.  Numerics vs the
+    host-prep f32 path: centering is the same arithmetic, but the
+    ``||xc||^2`` term reduces on device instead of in numpy, so fused-Q
+    statistics agree to ~1e-3 (reduction order) rather than bitwise;
+    uint16 input additionally carries the camera's own quantization.
     """
 
     def __init__(self, model: SIMCAModel, decision_type: str = "alt",
                  chunk_size: int = 8192, mesh=None, store_dtype=None,
-                 center=None):
+                 center=None, preprocess_fn=None):
         from ocm_tpu.models.simca import (predict_classes,
                                           predict_classes_int8)
 
@@ -200,6 +222,14 @@ class SIMCAScorer(_ChunkedScorer):
                 jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int8)):
             raise ValueError(
                 "store_dtype supports jnp.bfloat16 or jnp.int8")
+        if preprocess_fn is not None and store_dtype is not None:
+            raise ValueError(
+                "preprocess_fn (raw device-side ingest) and store_dtype "
+                "(host-quantized residual storage) are mutually exclusive: "
+                "quantizing the residual requires the preprocessed spectrum "
+                "on the host, which is exactly the work preprocess_fn moves "
+                "onto the device")
+        self._raw_fn = preprocess_fn
         if center is not None:
             center = np.asarray(center, np.float32)
             length = np.shape(model.mean)[-1]
@@ -259,6 +289,29 @@ class SIMCAScorer(_ChunkedScorer):
                                        axis=0)
             x_offset = jnp.asarray(self._center)
 
+            if self._raw_fn is not None:
+                # camera-native ingest: the chunk arrives at its RAW
+                # storage dtype (e.g. uint16 counts off a SWIR line-scan
+                # camera) and preprocess -> center -> ||.||^2 -> fused
+                # scoring all run as ONE compiled program per chunk.  The
+                # host ships 2 bytes/element instead of 4 and does zero
+                # prep work; centering on device in f32 is the same
+                # arithmetic as the host path, so the multi-class
+                # cancellation contract above is unchanged.
+                raw_fn = self._raw_fn
+
+                def decide(x_raw):
+                    xc = raw_fn(jnp.asarray(x_raw, jnp.float32)) - x_offset
+                    x2 = jnp.sum(jnp.square(xc), axis=1)
+                    accept, dred, t2, q = predict_classes(
+                        model, xc, decision_type, x_offset=x_offset,
+                        x_sumsq=x2)
+                    return {"accept": accept.T, "dred": dred.T,
+                            "t2": t2.T, "q": q.T}
+
+                super().__init__(decide, chunk_size, mesh)
+                return
+
             def decide(xc, x2):
                 # x2 = host-precomputed ||xc||^2: the fused op's second
                 # full read of the chunk (its ||x||^2 reduction) becomes
@@ -274,6 +327,28 @@ class SIMCAScorer(_ChunkedScorer):
             scoring_model = model
             if store_dtype is not None and self._center is None:
                 self._center = np.asarray(model.mean, np.float32)
+            if self._raw_fn is not None:
+                # single-class camera-native ingest (see the multi-class
+                # branch): raw chunk in, preprocess + decide in one
+                # program.  ``center`` has no role here — chunks are raw
+                # spectra, never stored residuals — so reject it rather
+                # than silently ignore it.
+                if self._center is not None:
+                    raise ValueError(
+                        "center= is for re-screening stored residual "
+                        "chunks and cannot be combined with preprocess_fn "
+                        "(raw ingest) on a single-class model")
+                raw_fn = self._raw_fn
+
+                def decide(x_raw):
+                    xp = raw_fn(jnp.asarray(x_raw, jnp.float32))
+                    accept, dred, t2, q = simca_decide(scoring_model, xp,
+                                                       decision_type)
+                    return {"accept": accept, "dred": dred, "t2": t2,
+                            "q": q}
+
+                super().__init__(decide, chunk_size, mesh)
+                return
             if self._center is not None:
                 # chunks arrive as residuals vs center; shift the model
                 # mean accordingly (exact when center == mean: zero)
@@ -298,6 +373,11 @@ class SIMCAScorer(_ChunkedScorer):
         return self._center
 
     def _prepare_chunk(self, chunk: np.ndarray) -> tuple:
+        if self._raw_fn is not None:
+            # raw ingest: ship the chunk at its storage dtype untouched —
+            # preprocessing/centering/||.||^2 are inside the compiled
+            # decide program
+            return (jnp.asarray(chunk),)
         if self._int8:
             # centering is FUSED into the quantize pass (chunks arrive
             # raw f32 from _preprocess): the threaded C++ kernel does
@@ -323,6 +403,8 @@ class SIMCAScorer(_ChunkedScorer):
         return super()._prepare_chunk(chunk)
 
     def _preprocess(self, x: np.ndarray) -> np.ndarray:
+        if self._raw_fn is not None:
+            return np.asarray(x)        # raw dtype preserved end to end
         if self._center is not None:
             if self._int8:
                 # centering happens inside the fused chunk quantize
@@ -366,9 +448,14 @@ class VAEScorer(_ChunkedScorer):
     def __init__(self, model: ConvVAE1D, bundle: OCMBundle,
                  variant: str = "d2", loss_type: str = "cosine",
                  chunk_size: int = 8192, mesh=None, vaesimca_model=None,
-                 decision_type: str = "alt", compute_dtype=None):
+                 decision_type: str = "alt", compute_dtype=None,
+                 pin_f_stats: bool = False):
         from ocm_tpu.models import vae_decision as D
 
+        if pin_f_stats and variant != "f":
+            raise ValueError(
+                "pin_f_stats applies only to variant='f' (the quirk-Q3 "
+                f"batch statistics); got variant={variant!r}")
         if compute_dtype is not None:
             # reduced-precision serving twin: same params/bundle, network
             # compute in ``compute_dtype`` (e.g. jnp.bfloat16 — conv GEMMs
@@ -434,6 +521,54 @@ class VAEScorer(_ChunkedScorer):
         elif variant == "d2_q":
             decide_one = lambda b, xc: D.decide_d2_q(
                 model, b, xc, loss_type)._asdict()
+        elif variant == "f" and pin_f_stats:
+            # DEPLOYMENT-PINNED variant 'f': the compiled program runs
+            # only the network (encode/decode/standardize) and ships the
+            # ingredients; the quirk-Q3 batch statistics (moments +
+            # leverage eigh) run on the HOST in float64
+            # (stats.qhf.qhf_batch_host), so decisions are a pure
+            # (bit-stable) function of the network outputs.  Compilation-
+            # context changes (stacked vs single scorer, fusion) then
+            # only move results by the network forward's own f32 rounding
+            # (~1e-5 relative, measured) instead of the in-program
+            # statistics' ~1% decision flips on TPU (docs/PARITY.md Q3).
+            # Output keys match unpinned 'f'.
+            from ocm_tpu.stats.qhf import qhf_batch_host
+
+            def ingredients(b, xc):
+                mu, _ = D.encode(model, b, xc)
+                x_rec = D.decode(model, b, mu)
+                return {"x_std": D.standardize(b, xc),
+                        "r_std": D.standardize(b, x_rec), "mu": mu}
+
+            if self._multiclass:
+                # batch-leading orientation so the chunk machinery's
+                # [:n] slice cuts samples, not classes
+                decide = lambda xc: jax.tree.map(
+                    lambda a: jnp.moveaxis(a, 0, 1),
+                    jax.lax.map(lambda b: ingredients(b, xc), bundle))
+                thr = np.asarray(bundle.threshold_f, np.float64)
+
+                def post(d):
+                    cols = [qhf_batch_host(d["x_std"][:, c], d["r_std"][:, c],
+                                           d["mu"][:, c])
+                            for c in range(thr.shape[0])]
+                    return {"accept": np.stack(
+                                [f <= thr[c] for c, (_, _, f)
+                                 in enumerate(cols)], axis=1),
+                            "d2": np.stack([h for _, h, _ in cols], axis=1),
+                            "q": np.stack([q for q, _, _ in cols], axis=1)}
+            else:
+                decide = lambda xc: ingredients(bundle, xc)
+                thr_s = float(bundle.threshold_f)
+
+                def post(d):
+                    q, h, f = qhf_batch_host(d["x_std"], d["r_std"],
+                                             d["mu"])
+                    return {"accept": f <= thr_s, "d2": h, "q": q}
+
+            super().__init__(decide, chunk_size, mesh, post_fn=post)
+            return
         elif variant == "f":
             decide_one = lambda b, xc: D.decide_f(model, b, xc)._asdict()
         elif variant == "full":

@@ -71,6 +71,37 @@ def qhf_batch(x, x_rec, z, cl: float = 0.95) -> QHFResult:
                      chi2_ppf(cl, nh + nq))
 
 
+def qhf_batch_host(x_std, r_std, z):
+    """HOST float64 twin of ``qhf_batch``'s statistics, for deployment-
+    pinned variant-'f' decisions.
+
+    Quirk Q3 computes moments and leverage from an eigh/SVD of the scored
+    batch itself; lowered through XLA those statistics shift at f32
+    rounding scale with ANY compilation-context change (stacked vs single
+    scorer, fusion differences), flipping ~1% of boundary-adjacent accepts
+    on TPU (docs/PARITY.md Q3).  This twin takes the network outputs and
+    computes q/h/f entirely in NumPy float64 on the host, so the decision
+    is a pure (bit-stable) function of the network outputs.  What remains
+    between compilations is the network forward's own f32 rounding
+    (~1e-5 relative, measured) — three orders below the in-program
+    statistics' flip band.  Returns ``(q, h, f)`` as float64 arrays
+    (criticals are not recomputed: the serving decision compares f
+    against the calibration-frozen ``threshold_f``).
+    """
+    import numpy as np
+
+    x64 = np.asarray(x_std, np.float64)
+    r64 = np.asarray(r_std, np.float64)
+    z64 = np.asarray(z, np.float64)
+    q = np.sum((x64 - r64) ** 2, axis=1)
+    nq, q0 = 2.0 * (q.mean() / q.std(ddof=1)) ** 2, q.mean()
+    z_c = (z64 - z64.mean(axis=0)) / (z64.std(axis=0, ddof=1) + 1e-12)
+    gram_pinv = np.linalg.pinv(z_c.T @ z_c, hermitian=True)
+    h = np.einsum("ij,jk,ik->i", z_c, gram_pinv, z_c)
+    nh, h0 = 2.0 * (h.mean() / h.std(ddof=1)) ** 2, h.mean()
+    return q, h, (h / h0) * nh + (q / q0) * nq
+
+
 class QHFCalibration(NamedTuple):
     """Frozen calibration statistics for the corrected q/h/f decision."""
 

@@ -45,17 +45,25 @@ def cheese_like(seed: int = 42, n_per_class: int = 140, length: int = CHEESE_LEN
 
 def nut_cube(seed: int = 0, nut_idx: int = 0, height: int = 64,
              width: int = 64, length: int = NUT_WAVELENGTHS,
-             n_objects: int = 6):
+             n_objects: int = 6, radius_range=(3, 6)):
     """One synthetic SWIR cube with disk-shaped nut objects on a dark
-    background (nut_data.py segmentation input shape)."""
+    background (nut_data.py segmentation input shape).
+
+    ``radius_range=(lo, hi)``: object radii are drawn from
+    [lo, hi) pixels — scale with height/width for large cubes so the
+    object-pixel fraction stays camera-realistic (the default keeps the
+    historical 3-6 px disks and bit-identical outputs for old seeds).
+    """
     rng = np.random.default_rng(seed)
     t = np.linspace(0, 1, length)
     base = np.sin(2 * np.pi * (2 + 0.5 * nut_idx) * t) + 1.5 + 0.3 * nut_idx
     cube = rng.normal(0.02, 0.01, (height, width, length))
     yy, xx = np.mgrid[:height, :width]
+    margin = max(8, int(radius_range[1]) + 2)
     for _ in range(n_objects):
-        cy, cx = rng.integers(8, height - 8), rng.integers(8, width - 8)
-        r = rng.integers(3, 6)
+        cy = rng.integers(margin, height - margin)
+        cx = rng.integers(margin, width - margin)
+        r = rng.integers(*radius_range)
         mask = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
         amp = rng.normal(1.0, 0.05)
         cube[mask] = (amp * base[None, :]

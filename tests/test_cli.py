@@ -207,6 +207,22 @@ def test_train_vae_screen_export(tiny_npz, tmp_path):
     vsm = _load_json(vs_dir, "metrics.json")
     assert vsm["vaesimca"] == pytest.approx(metrics["vaesimca"], abs=1e-6)
 
+    # deployment-pinned variant 'f' (host-f64 quirk-Q3 stats): same
+    # decisions as the compiled-statistics path on CPU
+    fp_dir, f_dir = str(tmp_path / "f_pin"), str(tmp_path / "f_ref")
+    for d, extra in ((f_dir, []), (fp_dir, ["--pin-f-stats"])):
+        rc = cli.main(["screen", "--data", tiny_npz, "--model-dir",
+                       train_dir, "--variant", "f", "--out-dir", d] + extra)
+        assert rc == 0
+    np.testing.assert_array_equal(
+        np.load(os.path.join(fp_dir, "predictions.npz"))["accept"],
+        np.load(os.path.join(f_dir, "predictions.npz"))["accept"])
+    # and it is variant-'f'-only
+    with pytest.raises(SystemExit, match="pin-f-stats"):
+        cli.main(["screen", "--data", tiny_npz, "--model-dir", train_dir,
+                  "--variant", "d2", "--pin-f-stats",
+                  "--out-dir", str(tmp_path / "bad")])
+
     torch = pytest.importorskip("torch")
     pth = str(tmp_path / "model.pth")
     rc = cli.main(["export-torch", "--model-dir", train_dir, "--out", pth])

@@ -513,3 +513,128 @@ def test_vae_scorer_inconsistent_stack_raises(stacked_vae):
     bad = stacked._replace(threshold=stacked.threshold[:2])
     with pytest.raises(ValueError, match="inconsistent"):
         VAEScorer(model, bad, variant="d2")
+
+
+# --- camera-native raw ingest (preprocess_fn) ---------------------------
+
+
+@pytest.fixture(scope="module")
+def raw_ingest_setup():
+    """Models fit on preprocessed COUNTS (uint16 camera scale), plus the
+    raw test pixels, for the device-side-ingest path."""
+    from ocm_tpu.models.simca import fit_classes
+    from ocm_tpu.ops.preprocess import snv_savgol
+
+    prep = lambda a: snv_savgol(a, 5, 2, 1)  # noqa: E731
+    rng = np.random.default_rng(11)
+    blocks = [make_class_spectra(rng, 80, 48, center_shift=0.6 * c)
+              for c in range(3)]
+    counts = np.round(np.clip(np.concatenate(blocks), 0, None) * 1e4)
+    counts_u16 = counts.astype(np.uint16)
+    y = np.repeat(np.arange(3), 80)
+    xp = np.asarray(prep(jnp.asarray(counts, jnp.float32)))
+    models = fit_classes(xp, y, [0, 1, 2], 5)
+    return models, counts_u16, prep
+
+
+def test_simca_scorer_raw_ingest_multiclass(raw_ingest_setup):
+    """Raw device-side ingest (preprocess -> center -> decide fused in one
+    program, chunk ships at uint16) decides EXACTLY like host-prepping the
+    same f32 values and scoring through the standard multi-class path —
+    same arithmetic, different placement."""
+    models, counts_u16, prep = raw_ingest_setup
+    host = SIMCAScorer(models, chunk_size=64)
+    x_prep = np.asarray(prep(jnp.asarray(counts_u16, jnp.float32)))
+    ref = host.score(x_prep)
+    raw = SIMCAScorer(models, chunk_size=64, preprocess_fn=prep)
+    out = raw.score(counts_u16)
+    np.testing.assert_array_equal(out["accept"], ref["accept"])
+    # the raw path's ||xc||^2 reduces on DEVICE (the host path ships a
+    # numpy sum): reduction order differs, and the fused Q expansion
+    # amplifies it near cancellation — statistics agree to ~1e-3
+    np.testing.assert_allclose(out["dred"], ref["dred"], rtol=2e-3)
+    assert out["accept"].shape == (240, 3)
+
+
+def test_simca_scorer_raw_ingest_single_class(raw_ingest_setup):
+    from ocm_tpu.models.simca import fit_simca
+    from ocm_tpu.models.simca import simca_decide
+
+    models, counts_u16, prep = raw_ingest_setup
+    x_prep = jnp.asarray(np.asarray(
+        prep(jnp.asarray(counts_u16, jnp.float32))))
+    model = fit_simca(x_prep[:80], 5)
+    raw = SIMCAScorer(model, chunk_size=64, preprocess_fn=prep)
+    out = raw.score(counts_u16)
+    acc_ref, dred_ref, _, _ = simca_decide(model, x_prep)
+    np.testing.assert_array_equal(out["accept"], np.asarray(acc_ref))
+    np.testing.assert_allclose(out["dred"], np.asarray(dred_ref),
+                               rtol=1e-5)
+
+
+def test_simca_scorer_raw_ingest_prefetch_and_stream(raw_ingest_setup):
+    models, counts_u16, prep = raw_ingest_setup
+    raw = SIMCAScorer(models, chunk_size=50, preprocess_fn=prep)
+    seq = raw.score(counts_u16, prefetch=0)
+    pipe = raw.score(counts_u16, prefetch=2)
+    np.testing.assert_array_equal(seq["accept"], pipe["accept"])
+    frames = list(raw.score_stream([counts_u16[:70], counts_u16[70:]]))
+    np.testing.assert_array_equal(
+        np.concatenate([f["accept"] for f in frames]), seq["accept"])
+
+
+def test_simca_scorer_raw_ingest_validation(raw_ingest_setup, simca_model):
+    models, _, prep = raw_ingest_setup
+    model, _ = simca_model
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        SIMCAScorer(models, preprocess_fn=prep, store_dtype=jnp.int8)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        SIMCAScorer(models, preprocess_fn=prep, store_dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="re-screening"):
+        SIMCAScorer(model, preprocess_fn=prep,
+                    center=np.zeros(48, np.float32))
+
+
+# --- deployment-pinned variant 'f' (quirk Q3 stabilization) -------------
+
+
+def test_vae_scorer_pinned_f_matches_unpinned_decisions(stacked_vae):
+    """pin_f_stats moves the quirk-Q3 batch statistics to host float64;
+    on CPU (exact lowering) the pinned decisions must equal the compiled
+    in-program ones, including on a ragged padded tail chunk."""
+    model, bundles, _, _, _, xt = stacked_vae
+    kw = dict(variant="f", loss_type="euclidean", chunk_size=50)  # ragged
+    ref = VAEScorer(model, bundles[0], **kw).score(xt)
+    out = VAEScorer(model, bundles[0], pin_f_stats=True, **kw).score(xt)
+    np.testing.assert_array_equal(out["accept"], ref["accept"])
+    # values differ at f64-vs-f32 statistic precision, not decisions
+    np.testing.assert_allclose(out["d2"], ref["d2"], rtol=5e-3, atol=1e-6)
+    np.testing.assert_allclose(out["q"], ref["q"], rtol=5e-3, atol=1e-6)
+
+
+def test_vae_scorer_pinned_f_stable_across_compilations(stacked_vae):
+    """THE deployment property (round-4 verdict item 6): variant-'f'
+    decisions in pinned mode are identical whether the scorer compiles
+    as a stacked multi-class program or as a single-class program.
+    The statistics are a pure host-f64 function of the network outputs;
+    what remains between lowerings is the network forward's own f32
+    rounding (~1e-5 relative — vs the in-program statistics' ~1%
+    decision flips on TPU, PARITY.md Q3)."""
+    model, bundles, _, stacked, _, xt = stacked_vae
+    kw = dict(variant="f", loss_type="euclidean", chunk_size=64,
+              pin_f_stats=True)
+    out = VAEScorer(model, stacked, **kw).score(xt)          # lax.map body
+    assert out["accept"].shape == (120, 3)
+    for c, b in enumerate(bundles):
+        single = VAEScorer(model, b, **kw).score(xt)         # dense program
+        np.testing.assert_array_equal(out["accept"][:, c], single["accept"])
+        np.testing.assert_allclose(out["d2"][:, c], single["d2"],
+                                   rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(out["q"][:, c], single["q"],
+                                   rtol=1e-4, atol=1e-7)
+
+
+def test_vae_scorer_pinned_f_validation(stacked_vae):
+    model, bundles, _, _, _, _ = stacked_vae
+    with pytest.raises(ValueError, match="pin_f_stats"):
+        VAEScorer(model, bundles[0], variant="d2", pin_f_stats=True)
