@@ -230,6 +230,22 @@ class SIMCAClassifier(ClassifierMixin, BaseEstimator):
                 "This SIMCAClassifier instance is not fitted yet.")
 
 
+def neg_val_loss(estimator, X=None, y=None):
+    """Scoring callable for ``GridSearchCV``/``RandomizedSearchCV`` over
+    ``VAESIMCAOneClass``: the NEGATED best validation loss of the
+    estimator's own internal cal/val split (sklearn maximizes scores).
+
+    This is exactly the shared-protocol HPO objective
+    (``scripts/hpo_shared_protocol.py``, ``utils.tpe.tpe_vae_search``),
+    so an sklearn search over the facade optimizes the same quantity as
+    the in-repo searchers and their incumbents are directly comparable
+    (docs/QUALITY.md "sklearn facade as a search surface").  The test
+    fold is ignored — pass a single trivial split such as
+    ``cv=[(np.arange(n), np.arange(2))]`` so each candidate trains once
+    on all rows, mirroring the one-shot trial of the HPO protocol."""
+    return -float(np.min(estimator.val_losses_))
+
+
 class VAESIMCAOneClass(OutlierMixin, BaseEstimator):
     """Train-and-calibrate VAE-SIMCA (decision variant 5) as one sklearn
     outlier detector.
@@ -244,7 +260,12 @@ class VAESIMCAOneClass(OutlierMixin, BaseEstimator):
 
     Hyperparameters cover the reference's HPO space
     (optim_bce_nuts.py:286-307) so ``GridSearchCV``/``RandomizedSearchCV``
-    can drive the same search through sklearn tooling.
+    can drive the same search through sklearn tooling (scoring:
+    ``neg_val_loss``).  ``val_indices`` pins the validation rows
+    explicitly (e.g. an object-aware split from ``utils.splits``) so a
+    facade search optimizes the IDENTICAL objective as
+    ``tpe_vae_search`` on the same cal/val data; when ``None`` the split
+    is a seeded permutation by ``val_fraction``.
     """
 
     def __init__(self, latent_dim: int = 8, conv_blocks: int = 2,
@@ -254,7 +275,8 @@ class VAESIMCAOneClass(OutlierMixin, BaseEstimator):
                  decision_type: str = "alt", t2lim: str = "Fdist",
                  t2cl: float = 0.95, qlim: str = "jm", qcl: float = 0.95,
                  dcl: float = 0.95, classical_limits: bool = False,
-                 val_fraction: float = 0.15, random_state: int = 0):
+                 val_fraction: float = 0.15, val_indices=None,
+                 random_state: int = 0):
         self.latent_dim = latent_dim
         self.conv_blocks = conv_blocks
         self.n_filters = n_filters
@@ -272,6 +294,7 @@ class VAESIMCAOneClass(OutlierMixin, BaseEstimator):
         self.dcl = dcl
         self.classical_limits = classical_limits
         self.val_fraction = val_fraction
+        self.val_indices = val_indices
         self.random_state = random_state
 
     def fit(self, X, y=None):
@@ -284,22 +307,39 @@ class VAESIMCAOneClass(OutlierMixin, BaseEstimator):
         if X.ndim != 2:
             raise ValueError("X must be 2-D (n_samples, length)")
         n = X.shape[0]
-        n_val = max(1, int(round(self.val_fraction * n)))
-        if n - n_val < 2:
-            raise ValueError(
-                f"n_samples={n} too small for val_fraction="
-                f"{self.val_fraction}")
-        perm = np.random.default_rng(self.random_state).permutation(n)
-        x_val, x_cal = X[perm[:n_val]], X[perm[n_val:]]
+        if self.val_indices is not None:
+            val_idx = np.asarray(self.val_indices, dtype=np.intp)
+            if val_idx.size == 0 or val_idx.min() < 0 or val_idx.max() >= n:
+                raise ValueError(
+                    f"val_indices must be non-empty row indices into X "
+                    f"(n_samples={n})")
+            mask = np.zeros(n, dtype=bool)
+            mask[val_idx] = True
+            if (~mask).sum() < 2:
+                raise ValueError(
+                    f"val_indices leaves {(~mask).sum()} calibration "
+                    f"rows; need >= 2")
+            x_val, x_cal = X[mask], X[~mask]
+        else:
+            n_val = max(1, int(round(self.val_fraction * n)))
+            if n - n_val < 2:
+                raise ValueError(
+                    f"n_samples={n} too small for val_fraction="
+                    f"{self.val_fraction}")
+            perm = np.random.default_rng(self.random_state).permutation(n)
+            x_val, x_cal = X[perm[:n_val]], X[perm[n_val:]]
 
+        # builtin-float cast: search samplers (scipy loguniform) hand
+        # np.float64 hyperparameters, which under x64 would promote the
+        # jitted train carry to f64 mid-scan
+        lr, beta = float(self.lr), float(self.beta)
         self.network_ = ConvVAE1D(input_length=X.shape[1],
                                   latent_dim=self.latent_dim,
                                   conv_blocks=self.conv_blocks,
                                   n_filters=self.n_filters,
-                                  hidden_fc=self.hidden_fc, beta=self.beta)
+                                  hidden_fc=self.hidden_fc, beta=beta)
         cfg = TrainConfig(epochs=self.epochs, batch_size=self.batch_size,
-                          lr=self.lr, beta=self.beta,
-                          loss_type=self.loss_type)
+                          lr=lr, beta=beta, loss_type=self.loss_type)
         result = train_vae(self.network_, x_cal, x_val, cfg,
                            jax.random.PRNGKey(self.random_state))
         self.bundle_ = result.bundle

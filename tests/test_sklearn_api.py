@@ -164,3 +164,57 @@ def test_vaesimca_one_class(blobs):
     c = clone(est)
     assert c.get_params()["latent_dim"] == 3
     assert not hasattr(c, "vs_")
+
+
+def test_randomized_search_cv_end_to_end(blobs):
+    """RandomizedSearchCV drives VAESIMCAOneClass as a search surface
+    (round-5 verdict item 8): the shared-protocol objective via
+    neg_val_loss, a pinned validation split via val_indices, a single
+    trivial CV fold so each candidate trains once — and the reported
+    incumbent is exactly the best per-candidate objective."""
+    from scipy.stats import loguniform
+    from sklearn.model_selection import RandomizedSearchCV
+
+    from ocm_tpu.sklearn_api import neg_val_loss
+
+    X, y = blobs
+    x0 = X[y == 0].astype(np.float32)
+    n = x0.shape[0]
+    val_idx = np.arange(n - 6, n)          # pinned validation rows
+    base = VAESIMCAOneClass(latent_dim=3, conv_blocks=2, n_filters=4,
+                            hidden_fc=16, epochs=2, batch_size=16,
+                            val_indices=val_idx, random_state=3)
+    search = RandomizedSearchCV(
+        base,
+        {"lr": loguniform(1e-4, 1e-2), "beta": loguniform(1e-2, 2.0)},
+        n_iter=3, scoring=neg_val_loss, cv=[(np.arange(n), np.arange(2))],
+        random_state=11, refit=True, error_score="raise")
+    search.fit(x0)
+
+    # incumbent bookkeeping: best_score_ is the max of the per-candidate
+    # objectives, and the refit best_estimator_ reproduces it
+    assert search.cv_results_["mean_test_score"].shape == (3,)
+    assert np.isfinite(search.cv_results_["mean_test_score"]).all()
+    assert search.best_score_ == search.cv_results_["mean_test_score"].max()
+    assert np.isclose(neg_val_loss(search.best_estimator_),
+                      search.best_score_, rtol=1e-6)
+    # the refit estimator is a working detector
+    assert set(np.unique(search.best_estimator_.predict(x0))) <= {-1, 1}
+
+
+def test_val_indices_pins_the_split(blobs):
+    """val_indices must carve exactly those rows into the val set (the
+    objective then matches tpe_vae_search on the same cal/val data)."""
+    X, y = blobs
+    x0 = X[y == 0].astype(np.float32)
+    n = x0.shape[0]
+    est = VAESIMCAOneClass(latent_dim=3, conv_blocks=2, n_filters=4,
+                           hidden_fc=16, epochs=2, batch_size=16,
+                           val_indices=np.arange(4), random_state=3)
+    est.fit(x0)
+    assert est.val_losses_.shape == (2,)
+
+    with pytest.raises(ValueError, match="val_indices"):
+        VAESIMCAOneClass(val_indices=np.array([n + 3])).fit(x0)
+    with pytest.raises(ValueError, match="calibration"):
+        VAESIMCAOneClass(val_indices=np.arange(n - 1)).fit(x0)
