@@ -482,7 +482,13 @@ def bench_hsi_cube(quick=False):
     from ocm_tpu.ops.preprocess import snv_savgol
     from ocm_tpu.utils.profiling import timeit
 
-    length, chunk, inner = (128, 8192, 8) if quick else (288, 65536, 32)
+    # inner=2048: at ~0.27 ms of device work per iteration the dispatch
+    # RTT must be amortized to <~5% or the reading dilutes — the round-5
+    # first record (67.8 M px/s at inner=32) was exactly that artifact;
+    # slope-verified rate is ~239 M px/s (scripts/probe_hsi_ceiling.py,
+    # docs/BENCHMARKS.md cube-scale section)
+    length, chunk, inner = (128, 8192, 256) if quick else (288, 65536,
+                                                           2048)
     rng = np.random.default_rng(0)
     t = np.linspace(0, 1, length)
     cal, y = [], []
