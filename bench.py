@@ -99,15 +99,19 @@ def _shape_kwargs():
 
 
 def bench_tpu(cals, xs, k=10, repeats=5, inner_iters=64):
-    """Steady-state device time per fit+score workload.
+    """Steady-state device time per fit+score workload, SLOPE-timed.
 
-    The workload repeats ``inner_iters`` times INSIDE one compiled program
-    (each iteration on index-perturbed data so nothing folds away) —
-    host<->device round-trip latency is paid once and amortized, so the
-    measurement reflects device throughput, not interconnect RTT.
-    ``inner_iters`` must keep total device work well above the ~30 ms
-    dispatch round trip of the hosted-TPU tunnel, or the measurement floors
-    at RTT/inner_iters (measured; see docs/BENCHMARKS.md methodology).
+    The workload repeats ``inner_iters`` times INSIDE one compiled
+    program (each iteration on index-perturbed data so nothing folds
+    away), and the per-iteration time is the two-point slope
+    ``(t(2n) - t(n)) / n`` between the n- and 2n-iteration variants of
+    the SAME program: the hosted tunnel adds a ~30 ms dispatch constant
+    per call, and a single-dispatch reading of a ~1.2 ms/iter workload
+    at n=64 still carries RTT/64 = ~0.5 ms/iter of dilution (that is
+    how rounds 2-4 measured — their records understate the device by
+    ~30%; docs/BENCHMARKS.md methodology, round-5 correction).  The
+    slope cancels the constant exactly; each point is best-of-N
+    fetch-forced.
 
     The fit uses ``solver='rsvd'`` — the GEMM-only randomized subspace
     fit (ocm_tpu.ops.linalg.pca_topk_cov), the TPU production path: a
@@ -124,29 +128,38 @@ def bench_tpu(cals, xs, k=10, repeats=5, inner_iters=64):
     xs_d = jnp.asarray(xs, jnp.float32)
     fit_fn = jax.vmap(lambda xc: fit_simca(xc, k, solver="rsvd"))
 
-    def run():
-        def body(i, acc):
-            models = fit_fn(stacked + 1e-6 * i)
-            # fused multi-class scoring: ONE GEMM / one HBM pass over the
-            # spectra for all C classes (ops.linalg.t2_q_scores_multiclass)
-            _, dred, _, _ = predict_classes(models, xs_d)
-            return acc + jnp.sum(dred)
+    def make_run(n):
+        def run():
+            def body(i, acc):
+                models = fit_fn(stacked + 1e-6 * i)
+                # fused multi-class scoring: ONE GEMM / one HBM pass
+                # over the spectra for all C classes
+                # (ops.linalg.t2_q_scores_multiclass)
+                _, dred, _, _ = predict_classes(models, xs_d)
+                return acc + jnp.sum(dred)
 
-        return jax.lax.fori_loop(0, inner_iters, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    run_jit = jax.jit(run)
-    # Warmup must FETCH the value: on the hosted TPU (axon) execution —
-    # including compilation — is lazy until a value materializes, and
-    # block_until_ready on a never-materialized array returns immediately.
-    # After this fetch, per-call block_until_ready waits correctly
-    # (verified: times scale linearly with inner_iters).
-    float(run_jit())
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run_jit())
-        times.append(time.perf_counter() - t0)
-    return min(times) / inner_iters
+        return jax.jit(run)
+
+    def best_wall(run_jit):
+        # Warmup must FETCH the value: on the hosted TPU (axon)
+        # execution — including compilation — is lazy until a value
+        # materializes, and block_until_ready on a never-materialized
+        # array returns immediately.  After this fetch, per-call
+        # block_until_ready waits correctly (verified: times scale
+        # linearly with inner_iters).
+        float(run_jit())
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run_jit())
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t1 = best_wall(make_run(inner_iters))
+    t2 = best_wall(make_run(2 * inner_iters))
+    return max((t2 - t1) / inner_iters, 1e-12)
 
 
 def _wait_for_quiet_host(max_load=None, horizon_s=None, poll_s=10.0):
