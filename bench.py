@@ -38,7 +38,25 @@ import subprocess
 import sys
 import time
 
-import numpy as np
+try:
+    import numpy as np
+except ModuleNotFoundError:  # pragma: no cover - interpreter mismatch
+    # Observed 2026-08-20: a shell that never sourced the login profile
+    # resolves `python` to the bare interpreter (no numpy/jax).  When run
+    # as a script, re-exec into the project venv instead of losing the
+    # round record; when imported, surface the real error.
+    # NOTE: compare sys.executable by PATH, not realpath — the venv
+    # launcher is a symlink to the base binary (realpath equal), and the
+    # venv works via argv0/pyvenv.cfg resolution.  _OCM_REEXEC guards
+    # against a loop if the venv itself is broken.
+    _venv_py = "/opt/venv/bin/python"
+    if (__name__ == "__main__" and os.path.exists(_venv_py)
+            and sys.executable != _venv_py
+            and "_OCM_BENCH_REEXEC" not in os.environ):
+        os.environ["_OCM_BENCH_REEXEC"] = "1"
+        os.execv(_venv_py, [_venv_py, os.path.abspath(__file__)]
+                 + sys.argv[1:])
+    raise
 
 
 def wait_for_device(horizon_s=None, probe_timeout=300, first_wait_s=15.0):
